@@ -49,9 +49,10 @@ _DEFINED_RE = re.compile(r"defined\s*(?:\(\s*(\w+)\s*\)|(\w+))")
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<num>(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?[fFuUlL]*)
+  | (?P<num>0[xX][0-9a-fA-F]+[uU]*|(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?[fFuUlL]*)
   | (?P<id>[A-Za-z_]\w*)
-  | (?P<punct>\#\#|<<=|>>=|<<|>>|<=|>=|==|!=|&&|\|\||[-+*/%<>=!&|^~?:;,.(){}\[\]\#])
+  | (?P<punct>\#\#|<<=|>>=|\+\+|--|\+=|-=|\*=|/=|%=|&=|\|=|\^=|<<|>>|<=|>=|==|!=
+        |&&|\|\||\^\^|[-+*/%<>=!&|^~?:;,.(){}\[\]\#])
   | (?P<other>.)
     """,
     re.VERBOSE,
@@ -422,7 +423,7 @@ def _detokenize(tokens: list[str]) -> str:
 
 
 def _word_like(t: str) -> bool:
-    return bool(t) and (t[0].isalnum() or t[0] == "_" or t[0] == ".")
+    return bool(t) and (t[0].isalnum() or t[0] == "_")
 
 
 def _needs_space(a: str, b: str) -> bool:
