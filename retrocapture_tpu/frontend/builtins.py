@@ -1,0 +1,511 @@
+"""GLSL builtin functions over the V value model.
+
+Component-wise math follows the GLSL 1.20/3.30 spec the corpus targets;
+each function folds to NumPy when every operand is compile-time concrete
+and emits JAX ops otherwise (so constant subexpressions never reach XLA).
+
+Texture builtins live in the interpreter (they need the pass binding
+context); everything numeric is here.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from retrocapture_tpu.frontend.values import (
+    BOOL,
+    FLOAT,
+    GType,
+    GlslEvalError,
+    INT,
+    V,
+    align_pair,
+    is_concrete,
+    promote_base,
+)
+
+__all__ = ["call_builtin", "is_builtin", "apply_binary", "apply_unary", "trunc_div_int"]
+
+
+def _xp(*datas):
+    return np if all(is_concrete(d) for d in datas) else jnp
+
+
+def _align_variadic(args: list[V]) -> tuple[list, GType]:
+    """Broadcast scalars among args to the common vector shape."""
+    shape = ()
+    base = "bool"
+    for a in args:
+        base = promote_base(base, a.type.base)
+        if len(a.type.shape) > len(shape):
+            shape = a.type.shape
+    out = []
+    for a in args:
+        a = a.astype(base)
+        if a.type.shape != shape:
+            a = a.expand_to(shape)
+        out.append(a.data)
+    return out, GType(base, shape)
+
+
+def _cw(fn: Callable, *args: V, result_base: str | None = None) -> V:
+    datas, t = _align_variadic(list(args))
+    xp = _xp(*datas)
+    res = fn(xp, *datas)
+    return V(res, t if result_base is None else t.with_base(result_base))
+
+
+# ---------------------------------------------------------------------------
+# Binary / unary operator semantics (used by the interpreter)
+
+
+def trunc_div_int(xp, a, b):
+    """C-style truncating integer division (numpy // floors)."""
+    q = xp.floor_divide(a, b)
+    r = a - q * b
+    fix = (r != 0) & ((a < 0) != (b < 0))
+    return xp.where(fix, q + 1, q)
+
+
+def apply_binary(op: str, a: V, b: V) -> V:
+    # Matrix algebra first.
+    if op == "*" and (a.type.is_matrix or b.type.is_matrix):
+        return _mat_mul(a, b)
+    if op in ("==", "!="):
+        # Aggregate equality on vectors yields a single bool.
+        aa, bb, t = align_pair(a, b)
+        xp = _xp(aa.data, bb.data)
+        eq = aa.data == bb.data
+        if not t.is_scalar:
+            eq = xp.all(eq, axis=tuple(range(-len(t.shape), 0)))
+        if op == "!=":
+            eq = xp.logical_not(eq)
+        return V(eq, BOOL)
+    if op in ("<", ">", "<=", ">="):
+        aa, bb, t = align_pair(a, b)
+        xp = _xp(aa.data, bb.data)
+        fn = {"<": xp.less, ">": xp.greater, "<=": xp.less_equal, ">=": xp.greater_equal}[op]
+        return V(fn(aa.data, bb.data), t.with_base("bool"))
+    if op in ("&&", "||", "^^"):
+        ab, bbt = a.astype("bool"), b.astype("bool")
+        # Fold when one scalar side is concrete: keeps loop conditions like
+        # `err > eps && i < N` concrete once the counter bound is hit, so
+        # the unroller terminates.
+        for x, y in ((ab, bbt), (bbt, ab)):
+            if is_concrete(x.data) and np.shape(x.data) == ():
+                xv = bool(x.data)
+                if op == "&&":
+                    return y if xv else V(np.bool_(False), BOOL)
+                if op == "||":
+                    return V(np.bool_(True), BOOL) if xv else y
+        aa, bb, t = align_pair(ab, bbt)
+        xp = _xp(aa.data, bb.data)
+        fn = {"&&": xp.logical_and, "||": xp.logical_or, "^^": xp.logical_xor}[op]
+        return V(fn(aa.data, bb.data), t)
+    aa, bb, t = align_pair(a, b)
+    xp = _xp(aa.data, bb.data)
+    if op == "+":
+        return V(aa.data + bb.data, t)
+    if op == "-":
+        return V(aa.data - bb.data, t)
+    if op == "*":
+        return V(aa.data * bb.data, t)
+    if op == "/":
+        if t.base in ("int", "uint"):
+            return V(trunc_div_int(xp, aa.data, bb.data), t)
+        return V(aa.data / bb.data, t)
+    if op == "%":
+        if t.base in ("int", "uint"):
+            q = trunc_div_int(xp, aa.data, bb.data)
+            return V(aa.data - q * bb.data, t)
+        return V(aa.data - bb.data * xp.floor(aa.data / bb.data), t)
+    if op == "&":
+        return V(aa.data & bb.data, t)
+    if op == "|":
+        return V(aa.data | bb.data, t)
+    if op == "^":
+        return V(aa.data ^ bb.data, t)
+    if op == "<<":
+        return V(aa.data << bb.data, t)
+    if op == ">>":
+        return V(aa.data >> bb.data, t)
+    raise GlslEvalError(f"unknown binary op {op!r}")
+
+
+def apply_unary(op: str, a: V) -> V:
+    xp = _xp(a.data)
+    if op == "-":
+        return V(-a.data, a.type)
+    if op == "+":
+        return a
+    if op == "!":
+        return V(xp.logical_not(a.astype("bool").data), a.type.with_base("bool"))
+    if op == "~":
+        return V(~a.data, a.type)
+    raise GlslEvalError(f"unknown unary op {op!r}")
+
+
+def _mat_mul(a: V, b: V) -> V:
+    """GLSL matrix multiplication. Matrices are stored [..., cols, rows]."""
+    xp = _xp(a.data, b.data)
+    if a.type.is_matrix and b.type.is_scalar:
+        return V(a.data * _expand2(b), a.type)
+    if a.type.is_scalar and b.type.is_matrix:
+        return V(_expand2(a) * b.data, b.type)
+    if a.type.is_matrix and b.type.is_vector:
+        # m * v: out_r = sum_c m[c, r] * v[c]
+        c, r = a.type.shape
+        if b.type.shape[0] != c:
+            raise GlslEvalError(f"mat{a.type.shape} * vec{b.type.shape}")
+        out = xp.einsum("...cr,...c->...r", a.data, b.astype("float").data)
+        return V(out, GType("float", (r,)))
+    if a.type.is_vector and b.type.is_matrix:
+        # v * m: out_c = dot(v, m[c])
+        c, r = b.type.shape
+        if a.type.shape[0] != r:
+            raise GlslEvalError(f"vec{a.type.shape} * mat{b.type.shape}")
+        out = xp.einsum("...r,...cr->...c", a.astype("float").data, b.data)
+        return V(out, GType("float", (c,)))
+    if a.type.is_matrix and b.type.is_matrix:
+        ca, ra = a.type.shape
+        cb, rb = b.type.shape
+        if ca != rb:
+            raise GlslEvalError(f"mat{a.type.shape} * mat{b.type.shape}")
+        # (a*b)[c] = a * b[c]
+        out = xp.einsum("...kr,...ck->...cr", a.data, b.data)
+        return V(out, GType("float", (cb, ra)))
+    raise GlslEvalError(f"bad operands for mat mul: {a.type} {b.type}")
+
+
+def _expand2(s: V):
+    d = s.astype("float").data
+    d = np.asarray(d) if is_concrete(d) else d
+    return d[..., None, None]
+
+
+# ---------------------------------------------------------------------------
+# Builtin registry
+
+
+def _reduce_last(v: V, fn_name: str) -> tuple:
+    xp = _xp(v.data)
+    return xp, v.astype("float").data
+
+
+def _b_dot(a: V, b: V) -> V:
+    aa, bb, t = align_pair(a.astype("float"), b.astype("float"))
+    xp = _xp(aa.data, bb.data)
+    if t.is_scalar:
+        return V(aa.data * bb.data, FLOAT)
+    return V(xp.sum(aa.data * bb.data, axis=-1), FLOAT)
+
+
+def _b_length(a: V) -> V:
+    xp, d = _reduce_last(a, "length")
+    if a.type.is_scalar:
+        return V(xp.abs(d), FLOAT)
+    return V(xp.sqrt(xp.sum(d * d, axis=-1)), FLOAT)
+
+
+def _b_normalize(a: V) -> V:
+    xp, d = _reduce_last(a, "normalize")
+    if a.type.is_scalar:
+        return V(xp.sign(d), FLOAT)
+    n = xp.sqrt(xp.sum(d * d, axis=-1, keepdims=True))
+    return V(d / n, a.type.with_base("float"))
+
+
+def _b_cross(a: V, b: V) -> V:
+    xp = _xp(a.data, b.data)
+    x, y = a.astype("float").data, b.astype("float").data
+    out = xp.stack(
+        [
+            x[..., 1] * y[..., 2] - x[..., 2] * y[..., 1],
+            x[..., 2] * y[..., 0] - x[..., 0] * y[..., 2],
+            x[..., 0] * y[..., 1] - x[..., 1] * y[..., 0],
+        ],
+        axis=-1,
+    )
+    return V(out, GType("float", (3,)))
+
+
+def _b_reflect(i: V, n: V) -> V:
+    d = _b_dot(n, i)
+    two_d = V(d.data * np.float32(2.0), FLOAT)
+    return apply_binary("-", i, apply_binary("*", n, two_d))
+
+
+def _b_refract(i: V, n: V, eta: V) -> V:
+    xp = _xp(i.data, n.data, eta.data)
+    d = _b_dot(n, i).data
+    e = eta.astype("float").data
+    k = 1.0 - e * e * (1.0 - d * d)
+    coeff = e * d + xp.sqrt(xp.maximum(k, 0.0))
+    out = e[..., None] * i.astype("float").data - coeff[..., None] * n.astype("float").data
+    zero = xp.zeros_like(out)
+    return V(xp.where((k < 0.0)[..., None], zero, out), i.type.with_base("float"))
+
+
+def _b_faceforward(nv: V, i: V, nref: V) -> V:
+    d = _b_dot(nref, i).data
+    xp = _xp(nv.data, i.data, nref.data)
+    nd = nv.astype("float").data
+    return V(xp.where((d < 0.0)[..., None], nd, -nd), nv.type.with_base("float"))
+
+
+def _b_mix(x: V, y: V, a: V) -> V:
+    if a.type.base == "bool":
+        datas, t = _align_variadic([x.astype("float"), y.astype("float"), a])
+        xp = _xp(*datas)
+        return V(xp.where(datas[2], datas[1], datas[0]), t.with_base("float"))
+    return _cw(lambda xp, xd, yd, ad: xd + (yd - xd) * ad, x, y, a, result_base="float")
+
+
+def _b_clamp(x: V, lo: V, hi: V) -> V:
+    base = promote_base(x.type.base, "int")
+    rb = x.type.base if x.type.base in ("int", "uint") and lo.type.base != "float" else "float"
+    return _cw(lambda xp, a, b, c: xp.minimum(xp.maximum(a, b), c), x, lo, hi, result_base=rb)
+
+
+def _b_step(edge: V, x: V) -> V:
+    return _cw(
+        lambda xp, e, v: xp.where(v < e, np.float32(0.0), np.float32(1.0)),
+        edge,
+        x,
+        result_base="float",
+    )
+
+
+def _b_smoothstep(e0: V, e1: V, x: V) -> V:
+    def fn(xp, a, b, v):
+        t = xp.clip((v - a) / (b - a), 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    return _cw(fn, e0, e1, x, result_base="float")
+
+
+def _b_mod(x: V, y: V) -> V:
+    return apply_binary("%", x, y)
+
+
+def _b_atan(*args: V) -> V:
+    if len(args) == 1:
+        return _cw(lambda xp, a: xp.arctan(a), args[0], result_base="float")
+    return _cw(lambda xp, y, x: xp.arctan2(y, x), args[0], args[1], result_base="float")
+
+
+def _b_transpose(m: V) -> V:
+    xp = _xp(m.data)
+    c, r = m.type.shape
+    return V(xp.swapaxes(m.data, -1, -2), GType("float", (r, c)))
+
+
+def _b_matrix_comp_mult(a: V, b: V) -> V:
+    return V(a.data * b.data, a.type)
+
+
+def _b_outer_product(a: V, b: V) -> V:
+    xp = _xp(a.data, b.data)
+    # result[c][r] = a[r] * b[c]  (columns = b's length)
+    out = xp.einsum("...r,...c->...cr", a.astype("float").data, b.astype("float").data)
+    return V(out, GType("float", (b.type.shape[0], a.type.shape[0])))
+
+
+def _b_inverse(m: V) -> V:
+    xp = _xp(m.data)
+    # data is [..., cols, rows]; linalg.inv works on [..., rows, cols];
+    # inv(A^T) = inv(A)^T so transpose in and out.
+    a = xp.swapaxes(m.data, -1, -2)
+    if xp is np:
+        inv = np.linalg.inv(a)
+    else:
+        inv = jnp.linalg.inv(a)
+    return V(xp.swapaxes(inv, -1, -2), m.type)
+
+
+def _relational(fn_name: str):
+    def impl(a: V, b: V) -> V:
+        aa, bb, t = align_pair(a, b)
+        xp = _xp(aa.data, bb.data)
+        fn = getattr(xp, fn_name)
+        return V(fn(aa.data, bb.data), t.with_base("bool"))
+
+    return impl
+
+
+def _b_any(a: V) -> V:
+    xp = _xp(a.data)
+    return V(xp.any(a.data, axis=-1), BOOL)
+
+
+def _b_all(a: V) -> V:
+    xp = _xp(a.data)
+    return V(xp.all(a.data, axis=-1), BOOL)
+
+
+def _b_not(a: V) -> V:
+    xp = _xp(a.data)
+    return V(xp.logical_not(a.data), a.type)
+
+
+def _simple(fname):
+    return lambda *args: _cw(lambda xp, *d: getattr(xp, fname)(*d), *args, result_base="float")
+
+
+def _b_sign(a: V) -> V:
+    return _cw(lambda xp, d: xp.sign(d), a)
+
+
+def _b_abs(a: V) -> V:
+    return _cw(lambda xp, d: xp.abs(d), a)
+
+
+def _b_min(a: V, b: V) -> V:
+    rb = "float" if "float" in (a.type.base, b.type.base) else a.type.base
+    return _cw(lambda xp, x, y: xp.minimum(x, y), a, b, result_base=rb)
+
+
+def _b_max(a: V, b: V) -> V:
+    rb = "float" if "float" in (a.type.base, b.type.base) else a.type.base
+    return _cw(lambda xp, x, y: xp.maximum(x, y), a, b, result_base=rb)
+
+
+def _b_pow(a: V, b: V) -> V:
+    # GLSL pow is undefined for x<0; GL drivers commonly return pow(|x|,y)
+    # or NaN. Emulate the common driver behavior |x|^y to avoid NaNs that
+    # the GL goldens don't show.
+    return _cw(lambda xp, x, y: xp.power(xp.abs(x), y), a, b, result_base="float")
+
+
+def _b_exp(a):
+    return _cw(lambda xp, d: xp.exp(d), a, result_base="float")
+
+
+def _b_inversesqrt(a: V) -> V:
+    return _cw(lambda xp, d: 1.0 / xp.sqrt(d), a, result_base="float")
+
+
+def _b_fract(a: V) -> V:
+    return _cw(lambda xp, d: d - xp.floor(d), a, result_base="float")
+
+
+def _b_round_even(a: V) -> V:
+    return _cw(lambda xp, d: xp.round(d), a, result_base="float")
+
+
+def _b_trunc(a: V) -> V:
+    return _cw(lambda xp, d: xp.trunc(d), a, result_base="float")
+
+
+def _b_distance(a: V, b: V) -> V:
+    return _b_length(apply_binary("-", a, b))
+
+
+def _b_mod289ish_noop(a: V) -> V:  # pragma: no cover
+    return a
+
+
+def _b_isnan(a: V) -> V:
+    return _cw(lambda xp, d: xp.isnan(d), a, result_base="bool")
+
+
+def _b_isinf(a: V) -> V:
+    return _cw(lambda xp, d: xp.isinf(d), a, result_base="bool")
+
+
+def _b_float_bits_to_int(a: V) -> V:
+    xp = _xp(a.data)
+    d = a.astype("float").data
+    view = (
+        np.asarray(d, np.float32).view(np.int32)
+        if xp is np
+        else jnp.asarray(d, jnp.float32).view(jnp.int32)
+    )
+    return V(view, a.type.with_base("int"))
+
+
+def _b_int_bits_to_float(a: V) -> V:
+    xp = _xp(a.data)
+    d = a.data
+    view = (
+        np.asarray(d, np.int32).view(np.float32)
+        if xp is np
+        else jnp.asarray(d, jnp.int32).view(jnp.float32)
+    )
+    return V(view, a.type.with_base("float"))
+
+
+_BUILTINS: dict[str, Callable] = {
+    "radians": lambda a: _cw(lambda xp, d: d * np.float32(np.pi / 180.0), a, result_base="float"),
+    "degrees": lambda a: _cw(lambda xp, d: d * np.float32(180.0 / np.pi), a, result_base="float"),
+    "sin": _simple("sin"),
+    "cos": _simple("cos"),
+    "tan": _simple("tan"),
+    "asin": lambda a: _cw(lambda xp, d: xp.arcsin(xp.clip(d, -1.0, 1.0)), a, result_base="float"),
+    "acos": lambda a: _cw(lambda xp, d: xp.arccos(xp.clip(d, -1.0, 1.0)), a, result_base="float"),
+    "atan": _b_atan,
+    "sinh": _simple("sinh"),
+    "cosh": _simple("cosh"),
+    "tanh": _simple("tanh"),
+    "exp": _b_exp,
+    "log": _simple("log"),
+    "exp2": _simple("exp2"),
+    "log2": _simple("log2"),
+    "sqrt": _simple("sqrt"),
+    "inversesqrt": _b_inversesqrt,
+    "pow": _b_pow,
+    "abs": _b_abs,
+    "sign": _b_sign,
+    "floor": lambda a: _cw(lambda xp, d: xp.floor(d), a, result_base="float"),
+    "ceil": lambda a: _cw(lambda xp, d: xp.ceil(d), a, result_base="float"),
+    "fract": _b_fract,
+    "trunc": _b_trunc,
+    "round": _b_round_even,
+    "roundEven": _b_round_even,
+    "mod": _b_mod,
+    "min": _b_min,
+    "max": _b_max,
+    "clamp": _b_clamp,
+    "mix": _b_mix,
+    "step": _b_step,
+    "smoothstep": _b_smoothstep,
+    "length": _b_length,
+    "distance": _b_distance,
+    "dot": _b_dot,
+    "cross": _b_cross,
+    "normalize": _b_normalize,
+    "faceforward": _b_faceforward,
+    "reflect": _b_reflect,
+    "refract": _b_refract,
+    "matrixCompMult": _b_matrix_comp_mult,
+    "outerProduct": _b_outer_product,
+    "transpose": _b_transpose,
+    "inverse": _b_inverse,
+    "lessThan": _relational("less"),
+    "lessThanEqual": _relational("less_equal"),
+    "greaterThan": _relational("greater"),
+    "greaterThanEqual": _relational("greater_equal"),
+    "equal": _relational("equal"),
+    "notEqual": _relational("not_equal"),
+    "any": _b_any,
+    "all": _b_all,
+    "not": _b_not,
+    "isnan": _b_isnan,
+    "isinf": _b_isinf,
+    "floatBitsToInt": _b_float_bits_to_int,
+    "floatBitsToUint": _b_float_bits_to_int,
+    "intBitsToFloat": _b_int_bits_to_float,
+    "uintBitsToFloat": _b_int_bits_to_float,
+}
+
+
+def is_builtin(name: str) -> bool:
+    return name in _BUILTINS
+
+
+def call_builtin(name: str, args: list[V]) -> V:
+    fn = _BUILTINS[name]
+    return fn(*args)

@@ -1,0 +1,1018 @@
+"""GLSL AST → JAX evaluator (the transpiler).
+
+Executes a shader's ``main`` symbolically over the whole ``[H, W]`` pixel
+grid: every GLSL scalar becomes an ``[H, W]`` array (or a NumPy constant
+when compile-time foldable), every vecN an ``[H, W, N]`` array, and
+``texture()`` becomes a gather (ops/sampling.py). The result is a traced
+JAX computation XLA fuses into a handful of kernels per pass — the
+TPU-native replacement for the reference's per-pass GLSL dispatch
+(ShaderEngine::renderMultipassPass, ShaderEngine.cpp:850-1475).
+
+Control flow:
+* concrete conditions/bounds (literals, consts, loop counters) execute
+  natively in Python — ``for`` loops unroll, ``if``s take one branch;
+* data-dependent conditions become *predicated execution*: both branches
+  run and every assignment merges with ``where(mask, new, old)``;
+  ``return`` / ``break`` / ``continue`` / ``discard`` under a traced mask
+  fold into the mask logic.
+
+The vertex stage is evaluated the same way with ``TexCoord`` bound to the
+output pixel grid; since corpus vertex shaders compute varyings as affine
+functions of ``TexCoord``, per-pixel evaluation equals hardware linear
+interpolation exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Protocol
+
+import jax.numpy as jnp
+import numpy as np
+
+from retrocapture_tpu.frontend import glsl_ast as A
+from retrocapture_tpu.frontend.builtins import (
+    apply_binary,
+    apply_unary,
+    call_builtin,
+    is_builtin,
+)
+from retrocapture_tpu.frontend.values import (
+    ArrayVal,
+    BOOL,
+    FLOAT,
+    GType,
+    GlslEvalError,
+    INT,
+    SamplerVal,
+    StructVal,
+    TYPE_NAMES,
+    V,
+    align_pair,
+    is_concrete,
+    swizzle_indices,
+    swizzle_read,
+    swizzle_write,
+)
+
+__all__ = ["ShaderEval", "PassContextProtocol", "UnsupportedShaderError"]
+
+MAX_UNROLL = 512
+
+
+class UnsupportedShaderError(GlslEvalError):
+    """Raised when a construct cannot be lowered; the engine degrades to
+    passthrough, mirroring the reference's compile-failure fallback
+    (ShaderEngine.cpp:294-314)."""
+
+
+class PassContextProtocol(Protocol):  # pragma: no cover - typing aid
+    out_size: tuple[int, int]  # (W, H)
+
+    def resolve_uniform(self, name: str, gtype: GType) -> Optional[V]: ...
+
+    def resolve_sampler(self, name: str) -> Optional[SamplerVal]: ...
+
+    def resolve_struct_uniform(self, name: str, fields: list) -> Optional[StructVal]: ...
+
+
+# ---------------------------------------------------------------------------
+# Signals for fully-concrete control flow
+
+
+class _BreakSignal(Exception):
+    pass
+
+
+class _ContinueSignal(Exception):
+    pass
+
+
+class _ReturnSignal(Exception):
+    def __init__(self, value: Optional[V]):
+        self.value = value
+
+
+class _Frame:
+    """One function activation."""
+
+    __slots__ = ("locals", "ret_val", "ret_mask")
+
+    def __init__(self):
+        self.locals: dict[str, Any] = {}
+        self.ret_val: Optional[V] = None
+        self.ret_mask = None  # None | bool array
+
+
+class _LoopCtx:
+    __slots__ = ("break_mask", "continue_mask")
+
+    def __init__(self):
+        self.break_mask = None
+        self.continue_mask = None
+
+
+def _or_mask(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return jnp.logical_or(a, b)
+
+
+def _and_mask(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return jnp.logical_and(a, b)
+
+
+def _not_mask(m):
+    return None if m is None else jnp.logical_not(m)
+
+
+def _masked_merge(old, new, mask):
+    """where(mask, new, old) for any value kind."""
+    if mask is None or old is None:
+        return new
+    if isinstance(new, ArrayVal):
+        return ArrayVal(
+            [_masked_merge(o, n, mask) for o, n in zip(old.elems, new.elems)],
+            new.elem_type,
+        )
+    if isinstance(new, StructVal):
+        return StructVal(
+            new.name,
+            {k: _masked_merge(old.fields.get(k), v, mask) for k, v in new.fields.items()},
+        )
+    if isinstance(new, SamplerVal):
+        return new
+    o, n, t = align_pair(old, new)
+    m = jnp.asarray(mask)
+    for _ in t.shape:
+        m = m[..., None]
+    return V(jnp.where(m, n.data, o.data), t)
+
+
+class ShaderEval:
+    """Evaluates one translation unit (one stage of one pass)."""
+
+    def __init__(self, tu: A.TranslationUnit, stage: str):
+        self.tu = tu
+        self.stage = stage
+        self.structs = tu.structs()
+        self.fns: dict[str, list[A.FunctionDef]] = {}
+        for d in tu.decls:
+            if isinstance(d, A.FunctionDef) and d.body is not None:
+                self.fns.setdefault(d.name, []).append(d)
+
+    # -- public ---------------------------------------------------------
+    def run(
+        self,
+        ctx: PassContextProtocol,
+        inputs: dict[str, Any],
+    ) -> tuple[dict[str, Any], Optional[V], Any]:
+        """Execute main(). ``inputs`` seeds global variables (attributes /
+        varyings / special vars). Returns (globals_after, output_color,
+        discard_mask). Output color resolution order: FragColor,
+        gl_FragColor, any declared `out vec4`."""
+        self.ctx = ctx
+        self.globals: dict[str, Any] = {}
+        self.out_names: list[str] = []
+        self.varying_names: list[str] = []
+        self.discard_mask = None
+        self.frames: list[_Frame] = []
+        self.loop_stack: list[_LoopCtx] = []
+        self.mask = None
+
+        # Root frame exists before global initializers run: they may call
+        # helper functions or reference earlier globals.
+        frame = _Frame()
+        self.frames.append(frame)
+        self._init_globals(inputs)
+        if "main" not in self.fns:
+            raise UnsupportedShaderError("no main()")
+        main = self.fns["main"][0]
+        try:
+            self._exec_block_stmts(main.body.body)
+        except _ReturnSignal:
+            pass
+        self.frames.pop()
+
+        out = None
+        for name in ("FragColor", "gl_FragColor", *self.out_names):
+            v = self.globals.get(name)
+            if isinstance(v, V) and v.type.shape == (4,):
+                out = v
+                break
+        return self.globals, out, self.discard_mask
+
+    # -- globals --------------------------------------------------------
+    def _init_globals(self, inputs: dict[str, Any]) -> None:
+        # Seed built-in variables (gl_FragCoord, attributes, varyings)
+        # whether or not the shader declares them.
+        for k, v in inputs.items():
+            self.globals[k] = v
+        for decl in self.tu.globals():
+            ts = decl.type
+            for d in decl.declarators:
+                name = d.name
+                if name in inputs:
+                    # Coerce to the declared type: e.g. shaders that
+                    # declare `in vec2 TexCoord` get the xy of the vec4
+                    # attribute the engine supplies.
+                    val = inputs[name]
+                    want = TYPE_NAMES.get(ts.name)
+                    if (
+                        isinstance(val, V)
+                        and want is not None
+                        and want.is_vector
+                        and val.type.is_vector
+                        and want.shape[0] < val.type.shape[0]
+                    ):
+                        val = V(
+                            val.data[..., : want.shape[0]],
+                            GType(val.type.base, want.shape),
+                        )
+                    self.globals[name] = val
+                    continue
+                if ts.name in ("sampler2D", "sampler1D", "sampler3D", "samplerCube"):
+                    s = self.ctx.resolve_sampler(name)
+                    if s is not None:
+                        self.globals[name] = s
+                    continue
+                if "out" in ts.qualifiers:
+                    self.out_names.append(name)
+                if ts.is_varying_out:
+                    self.varying_names.append(name)
+                if ts.is_uniform:
+                    gv = self._resolve_uniform_value(name, ts, d)
+                    if gv is not None:
+                        self.globals[name] = gv
+                        continue
+                # Plain global (const or mutable) with optional initializer.
+                if d.init is not None:
+                    self.globals[name] = self._eval_init(ts, d, d.init)
+                else:
+                    self.globals[name] = self._zero_value(ts, d)
+
+    def _resolve_uniform_value(self, name: str, ts: A.TypeSpec, d: A.Declarator):
+        if ts.name in self.structs:
+            sd = self.structs[ts.name]
+            sv = self.ctx.resolve_struct_uniform(name, sd.fields)
+            if sv is not None:
+                return sv
+            return self._zero_value(ts, d)
+        gtype = TYPE_NAMES.get(ts.name)
+        if gtype is None:
+            return None
+        v = self.ctx.resolve_uniform(name, gtype)
+        if v is None:
+            v = self._zero_value(ts, d)
+        return v
+
+    def _zero_value(self, ts: A.TypeSpec, d: Optional[A.Declarator] = None):
+        dims = d.array_size if d is not None else None
+        if ts.name in self.structs:
+            sd = self.structs[ts.name]
+            fields = {
+                fname: self._zero_for_type(ftype.name)
+                for ftype, fname, _ in sd.fields
+            }
+            base = StructVal(ts.name, fields)
+        else:
+            base = self._zero_for_type(ts.name)
+        if dims:
+            n = self._static_int(dims[0]) if dims[0] is not None else 0
+            elem_t = TYPE_NAMES.get(ts.name, FLOAT)
+            arr = ArrayVal([base] * max(n, 0), elem_t)
+            return arr
+        return base
+
+    def _zero_for_type(self, type_name: str):
+        gtype = TYPE_NAMES.get(type_name, FLOAT)
+        dt = {"float": np.float32, "int": np.int32, "uint": np.uint32, "bool": np.bool_}[
+            gtype.base
+        ]
+        return V(np.zeros(gtype.shape, dt) if gtype.shape else dt(0), gtype)
+
+    def _eval_init(self, ts: A.TypeSpec, d: A.Declarator, init: A.Expr):
+        if isinstance(init, A.BraceInit):
+            return self._eval_brace_init(ts, d.array_size or [], init)
+        val = self.eval(init)
+        return self._coerce_decl(ts, d, val)
+
+    def _eval_brace_init(self, ts: A.TypeSpec, dims: list, init: A.BraceInit):
+        elem_t = TYPE_NAMES.get(ts.name, FLOAT)
+        if len(dims) >= 2:
+            elems = [
+                self._eval_brace_init(ts, dims[1:], p)
+                if isinstance(p, A.BraceInit)
+                else self.eval(p)
+                for p in init.parts
+            ]
+            return ArrayVal(elems, elem_t)
+        elems = []
+        for p in init.parts:
+            v = self.eval(p) if not isinstance(p, A.BraceInit) else self._eval_brace_init(ts, [], p)
+            if isinstance(v, V):
+                v = self._convert_scalar(v, elem_t)
+            elems.append(v)
+        return ArrayVal(elems, elem_t)
+
+    def _convert_scalar(self, v: V, t: GType) -> V:
+        if v.type.shape == t.shape:
+            return v.astype(t.base)
+        if v.type.is_scalar and t.shape:
+            return v.astype(t.base).expand_to(t.shape)
+        return v
+
+    def _coerce_decl(self, ts: A.TypeSpec, d: A.Declarator, val):
+        if isinstance(val, (ArrayVal, StructVal, SamplerVal)):
+            return val
+        gtype = TYPE_NAMES.get(ts.name)
+        if gtype is None:
+            return val
+        if d.array_size:
+            return val  # array from constructor call
+        return self._convert_scalar(val, gtype)
+
+    # -- statements -----------------------------------------------------
+    def _prune_mask(self, base_mask):
+        """Subtract return/break/continue masks from the base mask."""
+        m = base_mask
+        fr = self.frames[-1]
+        if fr.ret_mask is not None:
+            m = _and_mask(m, _not_mask(fr.ret_mask))
+        for lp in self.loop_stack:
+            if lp.break_mask is not None:
+                m = _and_mask(m, _not_mask(lp.break_mask))
+            if lp.continue_mask is not None:
+                m = _and_mask(m, _not_mask(lp.continue_mask))
+        return m
+
+    def _exec_block_stmts(self, stmts: list[A.Stmt]) -> None:
+        base = self.mask
+        for s in stmts:
+            self.mask = self._prune_mask(base)
+            self.exec_stmt(s)
+        self.mask = base
+
+    def exec_stmt(self, s: A.Stmt) -> None:
+        if isinstance(s, A.Block):
+            self._exec_block_stmts(s.body)
+        elif isinstance(s, A.ExprStmt):
+            self.eval(s.expr)
+        elif isinstance(s, A.DeclStmt):
+            for d in s.declarators:
+                if d.init is not None:
+                    val = self._eval_init(s.type, d, d.init)
+                elif d.array_size:
+                    val = self._zero_value(s.type, d)
+                else:
+                    val = self._zero_value(s.type)
+                self._declare(d.name, val)
+        elif isinstance(s, A.If):
+            self._exec_if(s)
+        elif isinstance(s, A.For):
+            self._exec_for(s)
+        elif isinstance(s, A.While):
+            self._exec_loop(None, s.cond, None, s.body)
+        elif isinstance(s, A.DoWhile):
+            self._exec_loop(None, s.cond, None, s.body, do_while=True)
+        elif isinstance(s, A.Return):
+            self._exec_return(s)
+        elif isinstance(s, A.Break):
+            self._exec_break()
+        elif isinstance(s, A.Continue):
+            self._exec_continue()
+        elif isinstance(s, A.Discard):
+            m = self.mask
+            self.discard_mask = _or_mask(
+                self.discard_mask, m if m is not None else True
+            )
+            if m is None:
+                raise _ReturnSignal(None)
+        else:
+            raise UnsupportedShaderError(f"statement {type(s).__name__}")
+
+    def _declare(self, name: str, val) -> None:
+        self.frames[-1].locals[name] = val
+
+    def _exec_return(self, s: A.Return) -> None:
+        val = self.eval(s.value) if s.value is not None else None
+        fr = self.frames[-1]
+        if self.mask is None:
+            fr.ret_val = val if fr.ret_val is None else _masked_merge(fr.ret_val, val, None)
+            raise _ReturnSignal(val)
+        if val is not None:
+            fr.ret_val = _masked_merge(fr.ret_val, val, self.mask) if fr.ret_val is not None else _masked_merge(self._zeros_like(val), val, self.mask)
+        fr.ret_mask = _or_mask(fr.ret_mask, self.mask)
+
+    def _zeros_like(self, v: V) -> V:
+        return V(jnp.zeros_like(jnp.asarray(v.data)), v.type)
+
+    def _exec_break(self) -> None:
+        if not self.loop_stack:
+            raise UnsupportedShaderError("break outside loop")
+        if self.mask is None:
+            raise _BreakSignal()
+        lp = self.loop_stack[-1]
+        lp.break_mask = _or_mask(lp.break_mask, self.mask)
+
+    def _exec_continue(self) -> None:
+        if not self.loop_stack:
+            raise UnsupportedShaderError("continue outside loop")
+        if self.mask is None:
+            raise _ContinueSignal()
+        lp = self.loop_stack[-1]
+        lp.continue_mask = _or_mask(lp.continue_mask, self.mask)
+
+    def _exec_if(self, s: A.If) -> None:
+        cond = self.eval(s.cond).astype("bool")
+        if is_concrete(cond.data) and cond.batch_shape == ():
+            if bool(cond.data):
+                self.exec_stmt(s.then)
+            elif s.other is not None:
+                self.exec_stmt(s.other)
+            return
+        c = jnp.asarray(cond.data)
+        outer = self.mask
+        self.mask = _and_mask(outer, c)
+        self.exec_stmt(s.then)
+        if s.other is not None:
+            self.mask = self._prune_mask(_and_mask(outer, jnp.logical_not(c)))
+            self.exec_stmt(s.other)
+        self.mask = outer
+
+    def _exec_for(self, s: A.For) -> None:
+        if s.init is not None:
+            self.exec_stmt(s.init)
+        self._exec_loop(None, s.cond, s.step, s.body)
+
+    def _exec_loop(self, _init, cond_expr, step_expr, body, do_while=False) -> None:
+        lp = _LoopCtx()
+        self.loop_stack.append(lp)
+        outer = self.mask
+        iters = 0
+        traced_iters = 0
+        try:
+            while True:
+                # -- condition (top of loop; do-while checks at the bottom)
+                if cond_expr is not None and not (do_while and iters == 0):
+                    c = self.eval(cond_expr).astype("bool")
+                    if is_concrete(c.data) and c.batch_shape == ():
+                        if not bool(c.data):
+                            break
+                    else:
+                        # pixels whose condition just went false exit here
+                        active = self._prune_mask(outer)
+                        exited = _and_mask(active, jnp.logical_not(jnp.asarray(c.data)))
+                        if exited is None:
+                            exited = jnp.logical_not(jnp.asarray(c.data))
+                        lp.break_mask = _or_mask(lp.break_mask, exited)
+                        traced_iters += 1
+                        if traced_iters > MAX_UNROLL:
+                            raise UnsupportedShaderError(
+                                "data-dependent loop exceeded unroll cap"
+                            )
+                # -- body
+                lp.continue_mask = None
+                try:
+                    self.mask = self._prune_mask(outer)
+                    self.exec_stmt(body)
+                except _ContinueSignal:
+                    pass
+                except _BreakSignal:
+                    break
+                # -- step (continue skips the body, not the step)
+                if step_expr is not None:
+                    self.mask = self._prune_mask_no_continue(outer, lp)
+                    self.eval(step_expr)
+                # -- do-while bottom condition
+                if do_while and cond_expr is not None:
+                    c = self.eval(cond_expr).astype("bool")
+                    if is_concrete(c.data) and c.batch_shape == ():
+                        if not bool(c.data):
+                            break
+                    else:
+                        active = self._prune_mask(outer)
+                        exited = _and_mask(active, jnp.logical_not(jnp.asarray(c.data)))
+                        if exited is None:
+                            exited = jnp.logical_not(jnp.asarray(c.data))
+                        lp.break_mask = _or_mask(lp.break_mask, exited)
+                        traced_iters += 1
+                        if traced_iters > MAX_UNROLL:
+                            raise UnsupportedShaderError(
+                                "data-dependent loop exceeded unroll cap"
+                            )
+                iters += 1
+                if iters > MAX_UNROLL:
+                    raise UnsupportedShaderError(
+                        f"loop exceeded {MAX_UNROLL} unrolled iterations"
+                    )
+                if cond_expr is None and not do_while:
+                    # `for(;;)` with only concrete breaks is fine; a fully
+                    # unbounded loop without any break would spin — the
+                    # iteration cap above catches it.
+                    pass
+        finally:
+            self.loop_stack.pop()
+            self.mask = outer
+
+    def _prune_mask_no_continue(self, base, current_loop):
+        m = base
+        fr = self.frames[-1]
+        if fr.ret_mask is not None:
+            m = _and_mask(m, _not_mask(fr.ret_mask))
+        for lp in self.loop_stack:
+            if lp.break_mask is not None:
+                m = _and_mask(m, _not_mask(lp.break_mask))
+            if lp is not current_loop and lp.continue_mask is not None:
+                m = _and_mask(m, _not_mask(lp.continue_mask))
+        return m
+
+    # -- variable access ------------------------------------------------
+    def _lookup(self, name: str):
+        fr = self.frames[-1]
+        if name in fr.locals:
+            return fr.locals[name]
+        if name in self.globals:
+            return self.globals[name]
+        return None
+
+    def _write_var(self, name: str, val) -> None:
+        fr = self.frames[-1]
+        if name in fr.locals:
+            fr.locals[name] = _masked_merge(fr.locals[name], val, self.mask)
+        elif name in self.globals:
+            self.globals[name] = _masked_merge(self.globals[name], val, self.mask)
+        else:
+            fr.locals[name] = val
+
+    # -- expressions ----------------------------------------------------
+    def eval(self, e: A.Expr):
+        if isinstance(e, A.Num):
+            if e.is_float:
+                return V(np.float32(e.value), FLOAT)
+            return V(np.int32(e.value), INT)
+        if isinstance(e, A.BoolLit):
+            return V(np.bool_(e.value), BOOL)
+        if isinstance(e, A.Ident):
+            v = self._lookup(e.name)
+            if v is None:
+                raise UnsupportedShaderError(f"undefined identifier {e.name!r}")
+            return v
+        if isinstance(e, A.Member):
+            return self._eval_member(e)
+        if isinstance(e, A.Index):
+            return self._eval_index(e)
+        if isinstance(e, A.Binary):
+            return apply_binary(e.op, self.eval(e.left), self.eval(e.right))
+        if isinstance(e, A.Unary):
+            return apply_unary(e.op, self.eval(e.operand))
+        if isinstance(e, A.Assign):
+            return self._eval_assign(e)
+        if isinstance(e, A.Ternary):
+            return self._eval_ternary(e)
+        if isinstance(e, A.Call):
+            return self._eval_call(e)
+        if isinstance(e, (A.PrefixIncDec, A.PostfixIncDec)):
+            return self._eval_incdec(e)
+        if isinstance(e, A.Comma):
+            out = None
+            for p in e.parts:
+                out = self.eval(p)
+            return out
+        if isinstance(e, A.BraceInit):
+            raise UnsupportedShaderError("brace initializer outside declaration")
+        raise UnsupportedShaderError(f"expression {type(e).__name__}")
+
+    def _eval_member(self, e: A.Member):
+        obj = self.eval(e.obj)
+        if isinstance(obj, StructVal):
+            if e.name not in obj.fields:
+                raise UnsupportedShaderError(f"no field {e.name} in struct {obj.name}")
+            return obj.fields[e.name]
+        if isinstance(obj, V):
+            return swizzle_read(obj, e.name)
+        raise UnsupportedShaderError(f"member access on {type(obj).__name__}")
+
+    def _eval_index(self, e: A.Index):
+        obj = self.eval(e.obj)
+        idx = self.eval(e.index)
+        if isinstance(obj, ArrayVal):
+            if is_concrete(idx.data) and idx.batch_shape == ():
+                return obj.elems[int(idx.data)]
+            return self._dynamic_array_index(obj, idx)
+        if isinstance(obj, V):
+            if obj.type.is_matrix:
+                c, r = obj.type.shape
+                if is_concrete(idx.data) and idx.batch_shape == ():
+                    return V(obj.data[..., int(idx.data), :], GType("float", (r,)))
+                raise UnsupportedShaderError("dynamic matrix column index")
+            if obj.type.is_vector:
+                if is_concrete(idx.data) and idx.batch_shape == ():
+                    return V(obj.data[..., int(idx.data)], GType(obj.type.base, ()))
+                # dynamic component: select via where-chain
+                n = obj.type.shape[0]
+                i = jnp.asarray(idx.astype("int").data)
+                out = jnp.asarray(obj.data)[..., 0]
+                for k in range(1, n):
+                    out = jnp.where(i == k, jnp.asarray(obj.data)[..., k], out)
+                return V(out, GType(obj.type.base, ()))
+        raise UnsupportedShaderError(f"index on {type(obj).__name__}")
+
+    def _dynamic_array_index(self, arr: ArrayVal, idx: V):
+        if not arr.elems:
+            raise UnsupportedShaderError("index into empty array")
+        proto = arr.elems[0]
+        if isinstance(proto, V):
+            stacked = jnp.stack([jnp.asarray(x.data) for x in arr.elems], axis=0)
+            i = jnp.clip(jnp.asarray(idx.astype("int").data), 0, len(arr.elems) - 1)
+            out = jnp.take(stacked, i, axis=0)
+            # i may be batch-shaped; take moves batch to front which is
+            # already the layout (batch..., comps) — correct because axis=0
+            # selection with batched i yields i.shape + elem.shape.
+            return V(out, proto.type)
+        raise UnsupportedShaderError("dynamic index into non-numeric array")
+
+    def _eval_ternary(self, e: A.Ternary):
+        cond = self.eval(e.cond).astype("bool")
+        if is_concrete(cond.data) and cond.batch_shape == ():
+            return self.eval(e.then) if bool(cond.data) else self.eval(e.other)
+        a = self.eval(e.then)
+        b = self.eval(e.other)
+        if isinstance(a, V) and isinstance(b, V):
+            aa, bb, t = align_pair(a, b)
+            m = jnp.asarray(cond.data)
+            for _ in t.shape:
+                m = m[..., None]
+            return V(jnp.where(m, aa.data, bb.data), t)
+        raise UnsupportedShaderError("ternary on non-numeric values")
+
+    def _eval_incdec(self, e):
+        target = e.operand
+        old = self.eval(target)
+        one = V(np.int32(1) if old.type.base in ("int", "uint") else np.float32(1.0), GType(old.type.base, ()))
+        new = apply_binary("+" if e.op == "++" else "-", old, one)
+        self._assign_lvalue(target, new)
+        return old if isinstance(e, A.PostfixIncDec) else new
+
+    def _eval_assign(self, e: A.Assign):
+        if e.op == "=":
+            val = self.eval(e.value)
+        else:
+            cur = self.eval(e.target)
+            val = apply_binary(e.op[:-1], cur, self.eval(e.value))
+        # Preserve the declared component type on simple-variable writes
+        # (e.g. `float x; x = 1;`).
+        cur = self._peek_lvalue(e.target)
+        if isinstance(cur, V) and isinstance(val, V):
+            if cur.type.shape == val.type.shape:
+                val = val.astype(cur.type.base)
+            elif val.type.is_scalar and cur.type.shape:
+                val = self._convert_scalar(val, cur.type)
+        self._assign_lvalue(e.target, val)
+        return val
+
+    def _peek_lvalue(self, target: A.Expr):
+        try:
+            if isinstance(target, A.Ident):
+                return self._lookup(target.name)
+            return self.eval(target)
+        except GlslEvalError:
+            return None
+
+    def _assign_lvalue(self, target: A.Expr, val) -> None:
+        if isinstance(target, A.Ident):
+            self._write_var(target.name, val)
+            return
+        if isinstance(target, A.Member):
+            obj = self.eval(target.obj)
+            if isinstance(obj, StructVal):
+                ns = obj.copy()
+                ns.fields[target.name] = _masked_merge(
+                    ns.fields.get(target.name), val, self.mask
+                )
+                self._assign_lvalue_raw(target.obj, ns)
+                return
+            if isinstance(obj, V) and obj.type.is_vector:
+                merged = swizzle_write(obj, target.name, val)
+                if self.mask is not None:
+                    merged = _masked_merge(obj, merged, self.mask)
+                self._assign_lvalue_raw(target.obj, merged)
+                return
+            if isinstance(obj, V) and obj.type.is_scalar and swizzle_indices(target.name) == [0]:
+                self._assign_lvalue(target.obj, val)
+                return
+            raise UnsupportedShaderError(f"cannot assign member .{target.name}")
+        if isinstance(target, A.Index):
+            obj = self.eval(target.obj)
+            idx = self.eval(target.index)
+            if isinstance(obj, ArrayVal):
+                if is_concrete(idx.data) and idx.batch_shape == ():
+                    na = obj.copy()
+                    i = int(idx.data)
+                    na.elems[i] = _masked_merge(na.elems[i], val, self.mask)
+                    self._assign_lvalue_raw(target.obj, na)
+                    return
+                raise UnsupportedShaderError("dynamic array write")
+            if isinstance(obj, V) and obj.type.is_vector:
+                if is_concrete(idx.data) and idx.batch_shape == ():
+                    name = "xyzw"[int(idx.data)]
+                    self._assign_lvalue(A.Member(target.obj, name), val)
+                    return
+                raise UnsupportedShaderError("dynamic vector component write")
+            if isinstance(obj, V) and obj.type.is_matrix:
+                if is_concrete(idx.data) and idx.batch_shape == ():
+                    i = int(idx.data)
+                    col = val if isinstance(val, V) else val
+                    data = jnp.asarray(obj.data) if not is_concrete(obj.data) or not is_concrete(col.data) else np.array(obj.data, copy=True)
+                    if is_concrete(data) and is_concrete(col.data):
+                        data[..., i, :] = col.data
+                        nv = V(data, obj.type)
+                    else:
+                        nv = V(jnp.asarray(obj.data).at[..., i, :].set(col.data), obj.type)
+                    if self.mask is not None:
+                        nv = _masked_merge(obj, nv, self.mask)
+                    self._assign_lvalue_raw(target.obj, nv)
+                    return
+                raise UnsupportedShaderError("dynamic matrix column write")
+            raise UnsupportedShaderError("unsupported indexed assignment")
+        raise UnsupportedShaderError(
+            f"unsupported l-value {type(target).__name__}"
+        )
+
+    def _assign_lvalue_raw(self, target: A.Expr, val) -> None:
+        """Assign without re-applying the mask (already merged)."""
+        if isinstance(target, A.Ident):
+            fr = self.frames[-1]
+            if target.name in fr.locals:
+                fr.locals[target.name] = val
+            elif target.name in self.globals:
+                self.globals[target.name] = val
+            else:
+                fr.locals[target.name] = val
+            return
+        if isinstance(target, A.Member):
+            obj = self.eval(target.obj)
+            if isinstance(obj, StructVal):
+                ns = obj.copy()
+                ns.fields[target.name] = val
+                self._assign_lvalue_raw(target.obj, ns)
+                return
+            if isinstance(obj, V):
+                merged = swizzle_write(obj, target.name, val) if isinstance(val, V) and swizzle_indices(target.name) else val
+                self._assign_lvalue_raw(target.obj, merged)
+                return
+        if isinstance(target, A.Index):
+            obj = self.eval(target.obj)
+            idx = self.eval(target.index)
+            if isinstance(obj, ArrayVal) and is_concrete(idx.data):
+                na = obj.copy()
+                na.elems[int(idx.data)] = val
+                self._assign_lvalue_raw(target.obj, na)
+                return
+        raise UnsupportedShaderError("unsupported raw l-value")
+
+    # -- calls ----------------------------------------------------------
+    def _eval_call(self, e: A.Call):
+        name = e.func
+        # Type constructors
+        if name in TYPE_NAMES:
+            args = [self.eval(a) for a in e.args]
+            return self._construct(name, args)
+        if name in self.structs:
+            args = [self.eval(a) for a in e.args]
+            sd = self.structs[name]
+            fields = {fname: arg for (ftype, fname, _), arg in zip(sd.fields, args)}
+            return StructVal(name, fields)
+        if name in _TEXTURE_FNS:
+            return self._eval_texture(name, e.args)
+        if name in ("dFdx", "dFdy", "fwidth"):
+            return self._eval_derivative(name, e.args)
+        if name in self.fns:
+            return self._call_user(name, e)
+        if is_builtin(name):
+            args = [self.eval(a) for a in e.args]
+            return call_builtin(name, args)
+        raise UnsupportedShaderError(f"unknown function {name!r}")
+
+    def _construct(self, type_name: str, args: list):
+        t = TYPE_NAMES[type_name]
+        # Array constructor: float[2](a, b) parses as Call('float', [a, b]).
+        if t.is_scalar and len(args) > 1:
+            return ArrayVal([self._convert_scalar(a, t) for a in args], t)
+        if t.is_scalar:
+            a = args[0]
+            if not a.type.is_scalar:
+                a = V(a.data[..., 0], GType(a.type.base, ()))
+            return a.astype(t.base)
+        if t.is_matrix:
+            return self._construct_matrix(t, args)
+        # vector
+        n = t.shape[0]
+        if len(args) == 1 and args[0].type.is_scalar:
+            return args[0].astype(t.base).expand_to(t.shape)
+        if len(args) == 1 and args[0].type.is_matrix:
+            raise UnsupportedShaderError("vec(mat) constructor")
+        comps = []
+        for a in args:
+            if a.type.is_scalar:
+                comps.append(a.astype(t.base).data)
+            else:
+                d = a.astype(t.base).data
+                for i in range(a.type.shape[0]):
+                    comps.append(d[..., i])
+        comps = comps[:n]
+        if len(comps) < n:
+            raise UnsupportedShaderError(
+                f"{type_name} constructor with {len(comps)} components"
+            )
+        if all(is_concrete(c) for c in comps):
+            comps = np.broadcast_arrays(*[np.asarray(c) for c in comps])
+            return V(np.stack(comps, axis=-1), t)
+        comps = jnp.broadcast_arrays(*[jnp.asarray(c) for c in comps])
+        return V(jnp.stack(comps, axis=-1), t)
+
+    def _construct_matrix(self, t: GType, args: list):
+        c, r = t.shape
+        if len(args) == 1 and args[0].type.is_scalar:
+            eye = np.zeros((c, r), np.float32)
+            for i in range(min(c, r)):
+                eye[i, i] = 1.0
+            s = args[0].astype("float").data
+            if is_concrete(s):
+                return V(np.asarray(s)[..., None, None] * eye, t)
+            return V(jnp.asarray(s)[..., None, None] * eye, t)
+        if len(args) == 1 and args[0].type.is_matrix:
+            src = args[0]
+            sc, sr = src.type.shape
+            out = np.zeros((c, r), np.float32)
+            for i in range(min(c, r)):
+                out[i, i] = 1.0
+            if is_concrete(src.data):
+                out = np.broadcast_to(out, np.shape(src.data)[:-2] + (c, r)).copy()
+                out[..., : min(c, sc), : min(r, sr)] = src.data[..., : min(c, sc), : min(r, sr)]
+                return V(out, t)
+            base = jnp.broadcast_to(jnp.asarray(out), jnp.asarray(src.data).shape[:-2] + (c, r))
+            base = base.at[..., : min(c, sc), : min(r, sr)].set(
+                jnp.asarray(src.data)[..., : min(c, sc), : min(r, sr)]
+            )
+            return V(base, t)
+        if len(args) == c and all(a.type.is_vector for a in args):
+            cols = [a.astype("float").data for a in args]
+            if all(is_concrete(x) for x in cols):
+                cols = np.broadcast_arrays(*[np.asarray(x) for x in cols])
+                return V(np.stack(cols, axis=-2), t)
+            cols = jnp.broadcast_arrays(*[jnp.asarray(x) for x in cols])
+            return V(jnp.stack(cols, axis=-2), t)
+        # flat scalar list, column-major
+        comps = []
+        for a in args:
+            if a.type.is_scalar:
+                comps.append(a.astype("float").data)
+            else:
+                for i in range(a.type.shape[0]):
+                    comps.append(a.astype("float").data[..., i])
+        if len(comps) != c * r:
+            raise UnsupportedShaderError(f"mat constructor with {len(comps)} comps")
+        if all(is_concrete(x) for x in comps):
+            comps = np.broadcast_arrays(*[np.asarray(x) for x in comps])
+            flat = np.stack(comps, axis=-1)
+            return V(flat.reshape(flat.shape[:-1] + (c, r)), t)
+        comps = jnp.broadcast_arrays(*[jnp.asarray(x) for x in comps])
+        flat = jnp.stack(comps, axis=-1)
+        return V(flat.reshape(flat.shape[:-1] + (c, r)), t)
+
+    def _call_user(self, name: str, e: A.Call):
+        overloads = self.fns[name]
+        fn = None
+        for cand in overloads:
+            if len(cand.params) == len(e.args):
+                fn = cand
+                break
+        if fn is None:
+            raise UnsupportedShaderError(f"no overload of {name} with {len(e.args)} args")
+        args = [self.eval(a) for a in e.args]
+        frame = _Frame()
+        for p, a in zip(fn.params, args):
+            if isinstance(a, V):
+                gt = TYPE_NAMES.get(p.type.name)
+                if gt is not None and not p.array_size:
+                    a = self._convert_scalar(a, gt)
+            elif isinstance(a, ArrayVal):
+                a = a.copy()
+            elif isinstance(a, StructVal):
+                a = a.copy()
+            frame.locals[p.name] = a
+        self.frames.append(frame)
+        outer_loops = self.loop_stack
+        self.loop_stack = []
+        try:
+            self._exec_block_stmts(fn.body.body)
+        except _ReturnSignal:
+            pass
+        finally:
+            self.loop_stack = outer_loops
+            self.frames.pop()
+        # copy back out/inout params
+        for p, arg_expr in zip(fn.params, e.args):
+            if p.is_out:
+                self._assign_lvalue(arg_expr, frame.locals[p.name])
+        ret = frame.ret_val
+        if ret is None and fn.return_type.name != "void":
+            raise UnsupportedShaderError(f"function {name} missing return")
+        return ret
+
+    # -- textures -------------------------------------------------------
+    def _eval_texture(self, name: str, raw_args: list[A.Expr]):
+        from retrocapture_tpu.ops.sampling import sample2d
+
+        args = [self.eval(a) for a in raw_args]
+        sampler = args[0]
+        if not isinstance(sampler, SamplerVal):
+            raise UnsupportedShaderError(f"{name}: first arg is not a sampler")
+        w, h = sampler.size
+
+        if name == "textureSize":
+            return V(np.array([w, h], np.int32), GType("int", (2,)))
+        if name == "texelFetch":
+            ip = args[1].astype("int")
+            ix = jnp.clip(jnp.asarray(ip.data[..., 0]), 0, w - 1)
+            iy = jnp.clip(jnp.asarray(ip.data[..., 1]), 0, h - 1)
+            flat = jnp.asarray(sampler.tex).reshape(h * w, -1)
+            out = jnp.take(flat, iy * w + ix, axis=0)
+            return V(out, GType("float", (4,)))
+
+        uv = args[1].astype("float")
+        if name in ("texture2DProj", "textureProj"):
+            d = uv.data
+            last = uv.type.shape[0] - 1
+            uv = V(d[..., :2] / d[..., last : last + 1], GType("float", (2,)))
+        if name in ("textureOffset", "texture2DOffset"):
+            off = args[2].astype("float")
+            texel = np.array([1.0 / w, 1.0 / h], np.float32)
+            uv = V(uv.data[..., :2] + off.data * texel, GType("float", (2,)))
+        # Keep concrete coords as NumPy: sample2d's separable fast path
+        # needs trace-time-constant grids to build MXU resampling matrices.
+        d = uv.data
+        if is_concrete(d):
+            d = np.asarray(d, np.float32)
+            u, v = d[..., 0], d[..., 1]
+        else:
+            u, v = d[..., 0], d[..., 1]
+        out = sample2d(
+            jnp.asarray(sampler.tex),
+            u,
+            v,
+            filter_linear=sampler.filter_linear,
+            wrap_mode=sampler.wrap_mode,
+        )
+        return V(out, GType("float", (4,)))
+
+    def _eval_derivative(self, name: str, raw_args: list[A.Expr]):
+        v = self.eval(raw_args[0]).astype("float")
+        d = v.data
+        if is_concrete(d):
+            return V(np.zeros_like(np.asarray(d)), v.type)
+        d = jnp.asarray(d)
+        nb = len(v.batch_shape)
+        if nb < 2:
+            return V(jnp.zeros_like(d), v.type)
+        # Batch layout is (H, W); GL quad derivatives are constant per 2x2
+        # quad — forward difference on the even texel, replicated.
+        ax_y, ax_x = 0, 1
+
+        def quad_diff(arr, axis):
+            n = arr.shape[axis]
+            fwd = jnp.roll(arr, -1, axis=axis) - arr
+            bwd = arr - jnp.roll(arr, 1, axis=axis)
+            idx = jnp.arange(n)
+            even = (idx % 2) == 0
+            shape = [1] * arr.ndim
+            shape[axis] = n
+            even = even.reshape(shape)
+            return jnp.where(even, fwd, bwd)
+
+        if name == "dFdx":
+            return V(quad_diff(d, ax_x), v.type)
+        if name == "dFdy":
+            return V(quad_diff(d, ax_y), v.type)
+        return V(jnp.abs(quad_diff(d, ax_x)) + jnp.abs(quad_diff(d, ax_y)), v.type)
+
+
+_TEXTURE_FNS = {
+    "texture",
+    "texture2D",
+    "textureLod",
+    "texture2DLod",
+    "texelFetch",
+    "textureSize",
+    "textureOffset",
+    "texture2DOffset",
+    "textureProj",
+    "texture2DProj",
+    "textureGrad",
+}

@@ -1,0 +1,303 @@
+"""Runtime value model for the GLSL→JAX evaluator.
+
+A GLSL value is a ``V``: an array (NumPy when compile-time constant, JAX
+when data-dependent) whose trailing dimensions are the *type* dimensions
+— ``()`` for scalars, ``(n,)`` for vecN, ``(cols, rows)`` for matrices
+(GLSL matrices are column-major: ``m[i]`` is column ``i``) — and whose
+leading dimensions are the *batch* (the ``[H, W]`` pixel grid, or empty
+for uniforms/constants).
+
+Keeping compile-time constants as NumPy is what lets the interpreter
+unroll ``for`` loops with literal bounds and fold constant expressions at
+trace time instead of emitting them into the XLA graph.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "GType",
+    "V",
+    "SamplerVal",
+    "ArrayVal",
+    "StructVal",
+    "FLOAT",
+    "INT",
+    "BOOL",
+    "is_concrete",
+    "vec_type",
+    "scalar_of",
+    "GlslEvalError",
+]
+
+
+class GlslEvalError(Exception):
+    pass
+
+
+@dataclass(frozen=True)
+class GType:
+    base: str  # 'float' | 'int' | 'uint' | 'bool'
+    shape: tuple  # () | (n,) | (cols, rows)
+
+    @property
+    def is_scalar(self) -> bool:
+        return self.shape == ()
+
+    @property
+    def is_vector(self) -> bool:
+        return len(self.shape) == 1
+
+    @property
+    def is_matrix(self) -> bool:
+        return len(self.shape) == 2
+
+    @property
+    def ncomp(self) -> int:
+        n = 1
+        for d in self.shape:
+            n *= d
+        return n
+
+    def with_base(self, base: str) -> "GType":
+        return GType(base, self.shape)
+
+
+FLOAT = GType("float", ())
+INT = GType("int", ())
+UINT = GType("uint", ())
+BOOL = GType("bool", ())
+
+
+def vec_type(base: str, n: int) -> GType:
+    return GType(base, (n,))
+
+
+_NP_DTYPES = {
+    "float": np.float32,
+    "int": np.int32,
+    "uint": np.uint32,
+    "bool": np.bool_,
+}
+
+TYPE_NAMES: dict[str, GType] = {
+    "float": FLOAT,
+    "int": INT,
+    "uint": UINT,
+    "bool": BOOL,
+    "double": FLOAT,
+    **{f"vec{n}": GType("float", (n,)) for n in (2, 3, 4)},
+    **{f"ivec{n}": GType("int", (n,)) for n in (2, 3, 4)},
+    **{f"uvec{n}": GType("uint", (n,)) for n in (2, 3, 4)},
+    **{f"bvec{n}": GType("bool", (n,)) for n in (2, 3, 4)},
+    **{f"dvec{n}": GType("float", (n,)) for n in (2, 3, 4)},
+    **{f"mat{n}": GType("float", (n, n)) for n in (2, 3, 4)},
+    **{
+        f"mat{c}x{r}": GType("float", (c, r))
+        for c in (2, 3, 4)
+        for r in (2, 3, 4)
+    },
+}
+
+
+def is_concrete(x: Any) -> bool:
+    """True when x is a Python number / NumPy value (foldable at trace
+    time); False for JAX arrays and tracers."""
+    return isinstance(x, (int, float, bool, np.generic, np.ndarray))
+
+
+def scalar_of(value: float, base: str = "float") -> "V":
+    return V(np.asarray(value, _NP_DTYPES[base]), GType(base, ()))
+
+
+class V:
+    """A typed GLSL value."""
+
+    __slots__ = ("data", "type")
+
+    def __init__(self, data, type: GType):
+        self.data = data
+        self.type = type
+
+    # -- shape helpers --------------------------------------------------
+    @property
+    def batch_shape(self) -> tuple:
+        nd = len(self.type.shape)
+        shape = np.shape(self.data)
+        return shape[: len(shape) - nd] if nd else shape
+
+    def astype(self, base: str) -> "V":
+        if base == self.type.base:
+            return self
+        dt = _NP_DTYPES[base]
+        d = self.data
+        if self.type.base == "float" and base in ("int", "uint"):
+            # GLSL int(float) truncates toward zero.
+            d = np.trunc(d).astype(dt) if is_concrete(d) else jnp.trunc(d).astype(dt)
+        else:
+            d = d.astype(dt) if hasattr(d, "astype") else dt(d)
+        return V(d, self.type.with_base(base))
+
+    def expand_to(self, type_shape: tuple) -> "V":
+        """Broadcast a scalar to a vector/matrix shape (GLSL scalar-op-
+        vector semantics)."""
+        if self.type.shape == type_shape:
+            return self
+        if not self.type.is_scalar:
+            raise GlslEvalError(f"cannot expand {self.type} to {type_shape}")
+        concrete = is_concrete(self.data)
+        d = np.asarray(self.data) if concrete else self.data
+        for _ in type_shape:
+            d = d[..., None]
+        xp = np if concrete else jnp
+        d = xp.broadcast_to(d, d.shape[: d.ndim - len(type_shape)] + type_shape)
+        return V(d, GType(self.type.base, type_shape))
+
+    def component(self, i: int) -> "V":
+        if self.type.is_scalar:
+            raise GlslEvalError("component of scalar")
+        return V(self.data[..., i], GType(self.type.base, self.type.shape[1:]) if self.type.is_matrix else GType(self.type.base, ()))
+
+    def __repr__(self):  # pragma: no cover
+        return f"V({self.type.base}{self.type.shape}, batch={self.batch_shape})"
+
+
+class SamplerVal:
+    """A bound sampler2D: texture data + sampling state, resolved by the
+    pass binding model (graph/plan.py)."""
+
+    __slots__ = ("name", "tex", "filter_linear", "wrap_mode", "size")
+
+    def __init__(self, name: str, tex, filter_linear: bool, wrap_mode: str):
+        self.name = name
+        self.tex = tex  # [H, W, C] float32
+        self.filter_linear = filter_linear
+        self.wrap_mode = wrap_mode
+        self.size = (tex.shape[1], tex.shape[0])  # (W, H)
+
+
+class ArrayVal:
+    """GLSL array value: a Python list of Vs (static indexing stays a
+    list access; dynamic indexing stacks and gathers)."""
+
+    __slots__ = ("elems", "elem_type")
+
+    def __init__(self, elems: list, elem_type: GType):
+        self.elems = elems
+        self.elem_type = elem_type
+
+    def __len__(self):
+        return len(self.elems)
+
+    def copy(self) -> "ArrayVal":
+        return ArrayVal(list(self.elems), self.elem_type)
+
+
+class StructVal:
+    """GLSL struct instance: named fields."""
+
+    __slots__ = ("name", "fields")
+
+    def __init__(self, name: str, fields: dict):
+        self.name = name
+        self.fields = fields
+
+    def copy(self) -> "StructVal":
+        return StructVal(self.name, dict(self.fields))
+
+
+# ---------------------------------------------------------------------------
+# Swizzles
+
+_SWIZZLE_SETS = ("xyzw", "rgba", "stpq")
+
+
+def swizzle_indices(name: str) -> list[int] | None:
+    """Return component indices for a swizzle name, or None if not a
+    swizzle (i.e. a struct field access)."""
+    for charset in _SWIZZLE_SETS:
+        if all(c in charset for c in name):
+            return [charset.index(c) for c in name]
+    return None
+
+
+def swizzle_read(v: V, name: str) -> V:
+    idx = swizzle_indices(name)
+    if idx is None:
+        raise GlslEvalError(f"bad swizzle {name!r} on {v.type}")
+    if not v.type.is_vector and not v.type.is_scalar:
+        raise GlslEvalError(f"swizzle on {v.type}")
+    if v.type.is_scalar:
+        # scalar.x / scalar.xx — tolerated by some drivers
+        if len(idx) == 1:
+            return v
+        xp = np if is_concrete(v.data) else jnp
+        return V(xp.stack([v.data] * len(idx), axis=-1), GType(v.type.base, (len(idx),)))
+    if len(idx) == 1:
+        return V(v.data[..., idx[0]], GType(v.type.base, ()))
+    xp = np if is_concrete(v.data) else jnp
+    d = xp.stack([v.data[..., i] for i in idx], axis=-1)
+    return V(d, GType(v.type.base, (len(idx),)))
+
+
+def swizzle_write(target: V, name: str, value: V) -> V:
+    """Return a copy of ``target`` with swizzled components replaced."""
+    idx = swizzle_indices(name)
+    if idx is None or not target.type.is_vector:
+        raise GlslEvalError(f"bad swizzle write .{name} on {target.type}")
+    data = target.data
+    val = value.data
+    if len(idx) == 1:
+        comps = [val] if value.type.is_scalar else [val[..., 0]]
+    else:
+        if value.type.is_scalar:
+            comps = [val] * len(idx)
+        else:
+            comps = [val[..., k] for k in range(len(idx))]
+    if is_concrete(data) and all(is_concrete(c) for c in comps):
+        out = np.array(data, copy=True)
+        # broadcast batch dims
+        b = np.broadcast(out[..., 0], *comps)
+        if b.shape != out[..., 0].shape:
+            out = np.broadcast_to(out, b.shape + (out.shape[-1],)).copy()
+        for i, c in zip(idx, comps):
+            out[..., i] = c
+        return V(out, target.type)
+    data = jnp.asarray(data)
+    n = target.type.shape[0]
+    cols = [data[..., i] for i in range(n)]
+    for i, c in zip(idx, comps):
+        cols[i] = c
+    cols = jnp.broadcast_arrays(*cols)
+    return V(jnp.stack(cols, axis=-1), target.type)
+
+
+# ---------------------------------------------------------------------------
+# Promotion / broadcasting helpers
+
+_BASE_RANK = {"bool": 0, "int": 1, "uint": 2, "float": 3}
+
+
+def promote_base(a: str, b: str) -> str:
+    return a if _BASE_RANK[a] >= _BASE_RANK[b] else b
+
+
+def align_pair(a: V, b: V) -> tuple[V, V, GType]:
+    """Align two operands for a component-wise binary op per GLSL rules:
+    scalars broadcast against vectors/matrices; bases promote."""
+    base = promote_base(a.type.base, b.type.base)
+    a = a.astype(base)
+    b = b.astype(base)
+    if a.type.shape == b.type.shape:
+        return a, b, a.type
+    if a.type.is_scalar:
+        return a.expand_to(b.type.shape), b, b.type
+    if b.type.is_scalar:
+        return a, b.expand_to(a.type.shape), a.type
+    raise GlslEvalError(f"shape mismatch {a.type} vs {b.type}")

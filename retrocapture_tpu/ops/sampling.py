@@ -1,0 +1,236 @@
+"""GL-faithful texture sampling on TPU.
+
+Implements the sampling semantics the reference gets from the GL driver
+(per-pass ``filter_linear#`` / ``wrap_mode#`` applied in
+ShaderEngine::renderMultipassPass, ShaderEngine.cpp:1004-1036):
+
+* texel centers at ``(i + 0.5) / N`` (GL convention);
+* NEAREST: texel ``floor(u * N)``; LINEAR: taps at ``u*N - 0.5`` with
+  fractional lerp weights;
+* wrap modes clamp_to_edge / repeat / mirrored_repeat applied per tap,
+  clamp_to_border masking taps outside [0,N) to the GL default border
+  color (0,0,0,0).
+
+Textures are ``[H, W, C]`` float32 arrays in texture space: row 0 is
+``v = 0`` (the first uploaded row, matching glTexSubImage2D order), so no
+Y flips appear anywhere in the chain — exactly like the reference's FBO
+chain, which only flips at the final window blit.
+
+Gathers are expressed as flat ``jnp.take`` so XLA lowers them to a single
+gather op; the Pallas fast paths in ``ops/pallas`` specialize the common
+affine-grid cases.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["sample2d", "WRAP_MODES"]
+
+WRAP_MODES = ("clamp_to_edge", "clamp_to_border", "repeat", "mirrored_repeat")
+
+
+def _wrap_index(idx, n: int, mode: str):
+    """Wrap integer texel indices into [0, n). Returns (indices, valid)
+    where valid is None unless mode == clamp_to_border."""
+    if mode == "clamp_to_edge":
+        return jnp.clip(idx, 0, n - 1), None
+    if mode == "repeat":
+        return jnp.remainder(idx, n), None
+    if mode == "mirrored_repeat":
+        # GL MIRRORED_REPEAT: period 2n, reflect the second half.
+        m = jnp.remainder(idx, 2 * n)
+        return jnp.where(m < n, m, 2 * n - 1 - m), None
+    if mode == "clamp_to_border":
+        valid = (idx >= 0) & (idx < n)
+        return jnp.clip(idx, 0, n - 1), valid
+    raise ValueError(f"unknown wrap mode {mode!r}")
+
+
+def _gather(tex: jax.Array, iy, ix, valid_y, valid_x):
+    """tex: [H, W, C]; iy/ix: integer index arrays of identical shape S.
+    Returns [*S, C]."""
+    h, w, c = tex.shape
+    flat = tex.reshape(h * w, c)
+    out = jnp.take(flat, iy * w + ix, axis=0)
+    if valid_y is not None or valid_x is not None:
+        valid = None
+        for v in (valid_y, valid_x):
+            if v is not None:
+                valid = v if valid is None else (valid & v)
+        # GL border color default is (0,0,0,0).
+        out = jnp.where(valid[..., None], out, jnp.zeros((), tex.dtype))
+    return out
+
+
+def _wrap_index_np(idx: np.ndarray, n: int, mode: str):
+    if mode == "clamp_to_edge":
+        return np.clip(idx, 0, n - 1), None
+    if mode == "repeat":
+        return np.remainder(idx, n), None
+    if mode == "mirrored_repeat":
+        m = np.remainder(idx, 2 * n)
+        return np.where(m < n, m, 2 * n - 1 - m), None
+    if mode == "clamp_to_border":
+        valid = (idx >= 0) & (idx < n)
+        return np.clip(idx, 0, n - 1), valid
+    raise ValueError(mode)
+
+
+def _axis_matrix(coord: np.ndarray, n: int, filter_linear: bool, wrap: str) -> np.ndarray:
+    """Build the [n_out, n] resampling matrix for one axis: one-hot rows
+    for NEAREST, two-hot lerp rows for LINEAR, zero rows for border taps.
+    Sampling then becomes a dense matmul — the MXU-native formulation of a
+    separable gather."""
+    n_out = coord.shape[0]
+    a = np.zeros((n_out, n), np.float32)
+    rows = np.arange(n_out)
+    if not filter_linear:
+        idx = np.floor(coord * n).astype(np.int64)
+        idx, valid = _wrap_index_np(idx, n, wrap)
+        w = np.ones(n_out, np.float32) if valid is None else valid.astype(np.float32)
+        np.add.at(a, (rows, idx), w)
+        return a
+    x = coord * n - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    fx = (x - x0).astype(np.float32)
+    i0, v0 = _wrap_index_np(x0, n, wrap)
+    i1, v1 = _wrap_index_np(x0 + 1, n, wrap)
+    w0 = 1.0 - fx
+    w1 = fx
+    if v0 is not None:
+        w0 = w0 * v0
+    if v1 is not None:
+        w1 = w1 * v1
+    np.add.at(a, (rows, i0), w0)
+    np.add.at(a, (rows, i1), w1)
+    return a
+
+
+def _separable_rows(u: np.ndarray, v: np.ndarray):
+    """If u varies only along columns and v only along rows of a 2D grid,
+    return (u_row, v_col); else None."""
+    if u.ndim != 2 or v.ndim != 2 or u.shape != v.shape:
+        return None
+    if not np.all(u == u[:1, :]):
+        return None
+    if not np.all(v == v[:, :1]):
+        return None
+    return u[0, :], v[:, 0]
+
+
+def sample2d(
+    tex: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    *,
+    filter_linear: bool,
+    wrap_mode: str = "clamp_to_edge",
+) -> jax.Array:
+    """Sample ``tex [H, W, C]`` at normalized coords ``u, v`` (any common
+    shape S) with GL semantics. Returns ``[*S, C]`` in ``tex.dtype``.
+
+    Fast path: when u/v are trace-time constants forming a separable grid
+    (u a function of the column, v of the row — true for every
+    non-warping shader and all scale/blit resampling), the gather lowers
+    to two small dense matmuls on the MXU instead of an HBM gather."""
+    if wrap_mode not in WRAP_MODES:
+        wrap_mode = "clamp_to_edge"
+    h, w, _ = tex.shape
+    if isinstance(u, np.ndarray) and isinstance(v, np.ndarray):
+        sep = _separable_rows(np.asarray(u, np.float32), np.asarray(v, np.float32))
+        if sep is not None:
+            u_row, v_col = sep
+            ax = _axis_matrix(u_row, w, filter_linear, wrap_mode)
+            ay = _axis_matrix(v_col, h, filter_linear, wrap_mode)
+            c = tex.shape[-1]
+            th = jnp.einsum(
+                "hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32
+            )
+            return jnp.einsum(
+                "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32
+            ).astype(tex.dtype)
+    u = jnp.asarray(u, jnp.float32)
+    v = jnp.asarray(v, jnp.float32)
+
+    if not filter_linear:
+        ix = jnp.floor(u * w).astype(jnp.int32)
+        iy = jnp.floor(v * h).astype(jnp.int32)
+        ix, vx = _wrap_index(ix, w, wrap_mode)
+        iy, vy = _wrap_index(iy, h, wrap_mode)
+        return _gather(tex, iy, ix, vy, vx)
+
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(tex.dtype)
+    fy = (y - y0).astype(tex.dtype)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    x0w, vx0 = _wrap_index(x0, w, wrap_mode)
+    x1w, vx1 = _wrap_index(x0 + 1, w, wrap_mode)
+    y0w, vy0 = _wrap_index(y0, h, wrap_mode)
+    y1w, vy1 = _wrap_index(y0 + 1, h, wrap_mode)
+
+    t00 = _gather(tex, y0w, x0w, vy0, vx0)
+    t01 = _gather(tex, y0w, x1w, vy0, vx1)
+    t10 = _gather(tex, y1w, x0w, vy1, vx0)
+    t11 = _gather(tex, y1w, x1w, vy1, vx1)
+
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = t00 + (t01 - t00) * fx
+    bot = t10 + (t11 - t10) * fx
+    return top + (bot - top) * fy
+
+
+def reference_sample2d_numpy(
+    tex: np.ndarray, u: np.ndarray, v: np.ndarray, *, filter_linear: bool, wrap_mode: str
+) -> np.ndarray:
+    """Slow, obviously-correct NumPy oracle for fuzzing sample2d (per the
+    test strategy of SURVEY.md §4: fuzz against a CPU GL-reference)."""
+
+    h, w, c = tex.shape
+
+    def wrap(i, n):
+        if wrap_mode == "clamp_to_edge":
+            return np.clip(i, 0, n - 1), np.ones_like(i, bool)
+        if wrap_mode == "repeat":
+            return np.remainder(i, n), np.ones_like(i, bool)
+        if wrap_mode == "mirrored_repeat":
+            m = np.remainder(i, 2 * n)
+            return np.where(m < n, m, 2 * n - 1 - m), np.ones_like(i, bool)
+        if wrap_mode == "clamp_to_border":
+            return np.clip(i, 0, n - 1), (i >= 0) & (i < n)
+        raise ValueError(wrap_mode)
+
+    def fetch(iy, ix):
+        jy, oky = wrap(iy, h)
+        jx, okx = wrap(ix, w)
+        val = tex[jy, jx]
+        val = np.where((oky & okx)[..., None], val, 0.0)
+        return val
+
+    if not filter_linear:
+        return fetch(np.floor(v * h).astype(np.int64), np.floor(u * w).astype(np.int64))
+
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    t00 = fetch(y0, x0)
+    t01 = fetch(y0, x0 + 1)
+    t10 = fetch(y0 + 1, x0)
+    t11 = fetch(y0 + 1, x0 + 1)
+    top = t00 + (t01 - t00) * fx
+    bot = t10 + (t11 - t10) * fx
+    return top + (bot - top) * fy

@@ -1,5 +1,466 @@
-"""Engine stub — fleshed out as the runtime lands."""
+"""The Engine — RetroCapture's ShaderEngine contract on TPU.
+
+API mirrors src/shader/ShaderEngine.h:54-93: ``load_preset`` /
+``set_parameter`` / ``get_parameters`` / ``apply``; a failed preset load
+degrades to passthrough while keeping extracted parameter metadata for
+UIs, exactly like the reference (ShaderEngine.cpp:294-314).
+
+Execution model (TPU-first, not a port):
+* The whole multi-pass chain for one (source, viewport) shape pair is
+  traced once into a single XLA program — per-pass FBOs become
+  intermediate tensors XLA keeps in HBM/VMEM, and the per-pass
+  "framebuffer format" (RGBA8 quantize / sRGB round-trip / float) is a
+  fused epilogue (ops/colorspace.framebuffer_store).
+* Runtime parameters are trace-time constants by default: coordinate
+  math that depends only on uniforms folds to NumPy during tracing and
+  never reaches the device. Changing a parameter invalidates the jit
+  cache (a recompile), the idiomatic JAX trade for maximum steady-state
+  throughput; FrameCount/Time stay traced so animation never retraces.
+* Temporal state (7-deep history ring of final outputs —
+  ShaderEngine.cpp:1731-1865 — and PassFeedback ping-pong :1280-1347)
+  is an explicit pytree carried through ``lax.scan`` for batched
+  streams; stateless presets batch via ``vmap`` instead.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retrocapture_tpu.frontend.interp import UnsupportedShaderError
+from retrocapture_tpu.frontend.values import GType, SamplerVal, V
+from retrocapture_tpu.graph.plan import (
+    PassContext,
+    PresetProgram,
+    TexBinding,
+    compile_preset,
+)
+from retrocapture_tpu.graph.scale import PassShapes, compute_chain_shapes
+from retrocapture_tpu.ops.colorspace import framebuffer_store
+from retrocapture_tpu.ops.sampling import sample2d
+from retrocapture_tpu.presets.glslp import Preset
+from retrocapture_tpu.utils.logging import get_logger
+
+__all__ = ["Engine", "MAX_FRAME_HISTORY"]
+
+MAX_FRAME_HISTORY = 7  # ShaderEngine.h:143
+
+log = get_logger(__name__)
 
 
-class Engine:  # pragma: no cover - placeholder
-    pass
+def _grids(w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+    """Concrete (NumPy) pixel-center coordinate grids [h, w]."""
+    u = (np.arange(w, dtype=np.float32) + 0.5) / np.float32(w)
+    v = (np.arange(h, dtype=np.float32) + 0.5) / np.float32(h)
+    return np.broadcast_to(u[None, :], (h, w)), np.broadcast_to(v[:, None], (h, w))
+
+
+def _vec4_grid(a, b, c, d, h, w) -> V:
+    comps = [np.broadcast_to(np.asarray(x, np.float32), (h, w)) for x in (a, b, c, d)]
+    return V(np.stack(comps, axis=-1), GType("float", (4,)))
+
+
+@dataclass
+class _ChainState:
+    """Per-(source,viewport) device state."""
+
+    history: tuple  # tuple of [vh, vw, 4] arrays, most recent first
+    feedback: dict[int, Any]  # pass index → [oh, ow, 4]
+    frame_count: Any  # int32 scalar
+    time: Any  # float32 scalar
+
+
+class Engine:
+    """load preset → set parameters → process frames."""
+
+    def __init__(self, viewport: Optional[tuple[int, int]] = None):
+        self._program: Optional[PresetProgram] = None
+        self._preset: Optional[Preset] = None
+        self._custom_params: dict[str, float] = {}
+        self._viewport = viewport  # (W, H) or None → source size
+        self._jit_cache: dict = {}
+        self._states: dict = {}
+        self.shader_active = False
+        self.last_error: Optional[str] = None
+
+    # -- preset management ---------------------------------------------
+    def load_preset(self, path: str) -> bool:
+        """Parse + compile a .glslp (or bare .glsl as a single pass).
+        Returns False and degrades to passthrough on failure, keeping any
+        extracted parameters (reference behavior, ShaderEngine.cpp:294)."""
+        self._jit_cache.clear()
+        self._states.clear()
+        self._custom_params.clear()
+        try:
+            if str(path).endswith(".glsl"):
+                preset = Preset.loads(f"shaders = 1\nshader0 = {path}\n", path=str(path))
+            else:
+                preset = Preset.load(path)
+            self._preset = preset
+            self._program = compile_preset(preset)
+            self.shader_active = True
+            self.last_error = None
+            return True
+        except Exception as e:  # noqa: BLE001 - degrade like the reference
+            log.warning("preset load failed, falling back to passthrough: %s", e)
+            self.last_error = f"{type(e).__name__}: {e}"
+            self._program = None
+            self.shader_active = False
+            return False
+
+    def unload(self) -> None:
+        self._program = None
+        self._preset = None
+        self.shader_active = False
+        self._jit_cache.clear()
+        self._states.clear()
+
+    # -- parameters -----------------------------------------------------
+    def get_parameters(self) -> list[dict]:
+        """Dedup'd parameter metadata across passes, first-wins; value
+        precedence custom > preset-file > pragma default
+        (ShaderEngine::getShaderParameters, ShaderEngine.cpp:3264)."""
+        if self._program is None:
+            return []
+        out = []
+        for name, meta in self._program.parameters.items():
+            value = self._custom_params.get(name, self._program.defaults.get(name, meta.initial))
+            out.append(
+                {
+                    "name": name,
+                    "description": meta.description,
+                    "value": float(value),
+                    "default": meta.initial,
+                    "min": meta.minimum,
+                    "max": meta.maximum,
+                    "step": meta.step,
+                }
+            )
+        return out
+
+    def set_parameter(self, name: str, value: float) -> bool:
+        """Validates the parameter exists and clamps to [min, max]
+        (ShaderEngine::setShaderParameter, ShaderEngine.cpp:3353)."""
+        if self._program is None or name not in self._program.parameters:
+            return False
+        meta = self._program.parameters[name]
+        value = float(np.clip(value, meta.minimum, meta.maximum))
+        self._custom_params[name] = value
+        self._jit_cache.clear()  # params are trace-time constants
+        return True
+
+    def get_parameter(self, name: str) -> Optional[float]:
+        if self._program is None:
+            return None
+        if name in self._custom_params:
+            return self._custom_params[name]
+        return self._program.defaults.get(name)
+
+    def set_viewport(self, width: int, height: int) -> None:
+        self._viewport = (int(width), int(height))
+        self._jit_cache.clear()
+
+    def reset_state(self) -> None:
+        self._states.clear()
+
+    # -- application ----------------------------------------------------
+    def apply(self, frames) -> jax.Array:
+        """Process one frame [H,W,3|4] or a batch [B,H,W,3|4] (uint8 or
+        float). Returns float32 RGB in [0,1] at the viewport size:
+        [vh,vw,3] or [B,vh,vw,3]. Batches of temporal presets run as a
+        sequential scan; stateless presets vmap."""
+        arr = jnp.asarray(frames)
+        batched = arr.ndim == 4
+        if not batched:
+            arr = arr[None]
+        b, h, w = arr.shape[0], arr.shape[1], arr.shape[2]
+        src = self._to_rgba_float(arr)
+        vw, vh = self._viewport or (w, h)
+
+        if self._program is None:
+            out = self._passthrough(src, vw, vh)
+            return out if batched else out[0]
+
+        key = (h, w, vw, vh)
+        state = self._get_state(key, src.dtype)
+        fn = self._get_jit(key)
+        out, new_state = fn(src, state)
+        self._states[key] = new_state
+        out = out[..., :3]
+        return out if batched else out[0]
+
+    # convenience mirrors of the reference's RGBA8 output
+    def apply_u8(self, frames) -> np.ndarray:
+        out = self.apply(frames)
+        return np.asarray(jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8))
+
+    # -- internals ------------------------------------------------------
+    @staticmethod
+    def _to_rgba_float(arr) -> jax.Array:
+        if arr.dtype == jnp.uint8:
+            arr = arr.astype(jnp.float32) * (1.0 / 255.0)
+        else:
+            arr = arr.astype(jnp.float32)
+        if arr.shape[-1] == 3:
+            alpha = jnp.ones(arr.shape[:-1] + (1,), jnp.float32)
+            arr = jnp.concatenate([arr, alpha], axis=-1)
+        return arr
+
+    @staticmethod
+    def _resize_bilinear(tex, out_w: int, out_h: int):
+        u, v = _grids(out_w, out_h)
+        return sample2d(tex, u, v, filter_linear=True)
+
+    def _passthrough(self, src, vw: int, vh: int):
+        if src.shape[2] == vw and src.shape[1] == vh:
+            return src
+        return jax.vmap(lambda t: self._resize_bilinear(t, vw, vh))(src)
+
+    def _get_state(self, key, dtype) -> _ChainState:
+        st = self._states.get(key)
+        if st is not None:
+            return st
+        h, w, vw, vh = key
+        prog = self._program
+        shapes = compute_chain_shapes(prog.preset, w, h, vw, vh)
+        history = ()
+        if prog.uses_history():
+            last = shapes[-1]
+            history = tuple(
+                jnp.zeros((last.out_h, last.out_w, 4), jnp.float32)
+                for _ in range(MAX_FRAME_HISTORY)
+            )
+        feedback = {}
+        if prog.uses_feedback():
+            for j, sh in enumerate(shapes):
+                feedback[j] = jnp.zeros((sh.out_h, sh.out_w, 4), jnp.float32)
+        st = _ChainState(
+            history=history,
+            feedback=feedback,
+            frame_count=jnp.int32(0),
+            time=jnp.float32(0.0),
+        )
+        self._states[key] = st
+        return st
+
+    def _get_jit(self, key):
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        h, w, vw, vh = key
+        prog = self._program
+        shapes = compute_chain_shapes(prog.preset, w, h, vw, vh)
+        params = dict(prog.defaults)
+        params.update(self._custom_params)
+        temporal = prog.uses_history() or prog.uses_feedback()
+
+        def single(src, history, feedback, frame_count, time):
+            return _run_chain(
+                prog, shapes, (vw, vh), src, history, feedback, frame_count, time, params
+            )
+
+        if temporal:
+
+            def batch_fn(src_b, state: _ChainState):
+                def step(carry, src):
+                    hist, fb, fc, tm = carry
+                    out, hist, fb = single(src, hist, fb, fc, tm)
+                    return (hist, fb, fc + 1, tm + jnp.float32(0.016)), out
+
+                carry0 = (state.history, state.feedback, state.frame_count, state.time)
+                carry, outs = jax.lax.scan(step, carry0, src_b)
+                hist, fb, fc, tm = carry
+                return outs, _ChainState(hist, fb, fc, tm)
+
+        else:
+
+            def batch_fn(src_b, state: _ChainState):
+                def one(src):
+                    out, _, _ = single(
+                        src, state.history, state.feedback, state.frame_count, state.time
+                    )
+                    return out
+
+                outs = jax.vmap(one)(src_b)
+                n = src_b.shape[0]
+                return outs, _ChainState(
+                    state.history,
+                    state.feedback,
+                    state.frame_count + n,
+                    state.time + jnp.float32(0.016) * n,
+                )
+
+        fn = jax.jit(batch_fn)
+        self._jit_cache[key] = fn
+        return fn
+
+
+# jax.tree registration for _ChainState
+jax.tree_util.register_pytree_node(
+    _ChainState,
+    lambda s: ((s.history, s.feedback, s.frame_count, s.time), None),
+    lambda _, c: _ChainState(*c),
+)
+
+
+# ---------------------------------------------------------------------------
+# Chain execution (traced)
+
+
+def _run_chain(
+    prog: PresetProgram,
+    shapes: list[PassShapes],
+    viewport: tuple[int, int],
+    source,  # [h, w, 4] float32
+    history: tuple,
+    feedback: dict[int, Any],
+    frame_count,
+    time,
+    params: dict[str, float],
+):
+    """Execute every pass of a compiled preset for one frame. FrameCount
+    increments once per frame, not per pass (ShaderEngine.cpp:1685-1689);
+    history updates most-recent-first with the *final* processed output
+    (:1731-1865); feedback ping-pong swaps at frame end (:1710-1718)."""
+    n = len(prog.passes)
+    src_h, src_w = source.shape[0], source.shape[1]
+    preset = prog.preset
+
+    def filter_of_output(j: int) -> tuple[bool, str]:
+        # Output of pass j carries the texture state last applied by the
+        # pass that consumed it as input (j+1); the final pass's output
+        # keeps the FBO defaults LINEAR/clamp (createFramebuffer).
+        if j + 1 < n:
+            cfg = preset.passes[j + 1]
+            return cfg.filter_linear, cfg.wrap_mode
+        return True, "clamp_to_edge"
+
+    original_binding = TexBinding(
+        source, preset.passes[0].filter_linear, preset.passes[0].wrap_mode
+    )
+    history_bindings = [TexBinding(t, True, "clamp_to_edge") for t in history]
+
+    pass_outputs: list[Optional[TexBinding]] = []
+    outputs_raw: list = []
+    current = source
+    for i, cp in enumerate(prog.passes):
+        cfg = preset.passes[i]
+        sh = shapes[i]
+        input_binding = TexBinding(current, cfg.filter_linear, cfg.wrap_mode)
+        fb_bindings = {
+            j: TexBinding(t, *filter_of_output(j)) for j, t in feedback.items()
+        }
+        ctx = PassContext(
+            prog,
+            i,
+            shapes=shapes,
+            viewport=viewport,
+            source_size=(src_w, src_h),
+            input_binding=input_binding,
+            original_binding=original_binding,
+            pass_outputs=pass_outputs,
+            history=history_bindings,
+            feedback=fb_bindings,
+            frame_count=frame_count,
+            frame_time=time,
+            params={k: np.float32(v) for k, v in params.items()},
+        )
+        color = _run_pass(cp, ctx, sh)
+        stored = framebuffer_store(
+            color,
+            float_framebuffer=cfg.float_framebuffer,
+            srgb_framebuffer=cfg.srgb_framebuffer,
+        )
+        outputs_raw.append(stored)
+        pass_outputs.append(TexBinding(stored, *filter_of_output(i)))
+        current = stored
+
+    final = current
+
+    # History ring: the final pass output (at its own size,
+    # ShaderEngine.cpp:1744-1756) quantized to RGBA8 like the copy into a
+    # GL_RGBA/UNSIGNED_BYTE texture.
+    new_history = history
+    if history:
+        hh, hw = history[0].shape[0], history[0].shape[1]
+        if final.shape[0] != hh or final.shape[1] != hw:
+            u, v = _grids(hw, hh)
+            entry = sample2d(final, u, v, filter_linear=True)
+        else:
+            entry = final
+        entry = framebuffer_store(entry, float_framebuffer=False, srgb_framebuffer=False)
+        new_history = (entry,) + tuple(history[:-1])
+
+    # Feedback ping-pong: this frame's outputs become next frame's
+    # PassFeedback textures.
+    new_feedback = {j: outputs_raw[j] for j in feedback}
+
+    # Final window blit (OpenGLRenderer::renderTexture): stretch the last
+    # pass output to the viewport with the FBO texture's LINEAR filter.
+    vw, vh = viewport
+    if final.shape[0] != vh or final.shape[1] != vw:
+        u, v = _grids(vw, vh)
+        final = sample2d(final, u, v, filter_linear=True)
+
+    return final, new_history, new_feedback
+
+
+def _run_pass(cp, ctx: PassContext, sh: PassShapes):
+    """One pass: vertex stage over the output grid → varyings; fragment
+    stage → [oh, ow, 4] color."""
+    ow, oh = sh.out_w, sh.out_h
+    ugrid, vgrid = _grids(ow, oh)
+
+    tex_coord = V(
+        np.stack(
+            [ugrid, vgrid, np.zeros_like(ugrid), np.ones_like(ugrid)], axis=-1
+        ),
+        GType("float", (4,)),
+    )
+    vertex_coord = V(
+        np.stack(
+            [ugrid * 2.0 - 1.0, vgrid * 2.0 - 1.0, np.zeros_like(ugrid), np.ones_like(ugrid)],
+            axis=-1,
+        ),
+        GType("float", (4,)),
+    )
+    color_attr = V(np.ones((oh, ow, 4), np.float32), GType("float", (4,)))
+
+    v_inputs = {
+        "TexCoord": tex_coord,
+        "VertexCoord": vertex_coord,
+        "COLOR": color_attr,
+        "gl_Position": vertex_coord,
+    }
+    v_globals, _, _ = cp.vertex_eval.run(ctx, v_inputs)
+
+    f_inputs = {}
+    for name in cp.vertex_eval.varying_names:
+        if name in v_globals:
+            f_inputs[name] = v_globals[name]
+    frag_coord = V(
+        np.stack(
+            [ugrid * ow, vgrid * oh, np.zeros_like(ugrid), np.ones_like(ugrid)],
+            axis=-1,
+        ),
+        GType("float", (4,)),
+    )
+    f_inputs["gl_FragCoord"] = frag_coord
+
+    _, out_color, discard_mask = cp.fragment_eval.run(ctx, f_inputs)
+    if out_color is None:
+        raise UnsupportedShaderError(f"pass {cp.index}: no output color written")
+    data = out_color.data
+    data = jnp.asarray(data)
+    data = jnp.broadcast_to(data, (oh, ow, 4))
+    if discard_mask is not None and discard_mask is not False:
+        if discard_mask is True:
+            data = jnp.zeros_like(data)
+        else:
+            data = jnp.where(jnp.asarray(discard_mask)[..., None], 0.0, data)
+    return data

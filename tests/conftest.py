@@ -4,12 +4,22 @@ dry-runs the multi-chip path; bench.py runs on the real chip)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image's sitecustomize force-registers the `axon` TPU-tunnel PJRT
+# backend in every interpreter and JAX_PLATFORMS=cpu from the env is NOT
+# honored once it registers; eager ops through the tunnel cost ~1s each.
+# jax.config.update IS honored — tests must run on host CPU with a virtual
+# 8-device mesh for sharding coverage.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
