@@ -1,0 +1,121 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Measures steady-state 1080p-viewport frames/sec/chip over the BASELINE
+configs (BASELINE.json):
+
+  1. single-pass scanline, 320x240 source (smoke-test golden path)
+  2. xbr-lv2 upscale, 240p source -> 1080p
+  3. crt-mattias CRT chain at 1080p
+  4. ntsc-320px multi-pass composite (frame_count_mod temporal state)
+  5. PassFeedback ghost preset on a batched frame stream + fused YUYV->RGB
+
+Metric: geometric mean frames/sec across configs; vs_baseline is the
+ratio to the 5,000 fps/chip target.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+SHADERS = Path("/root/reference/shaders/shaders_glsl")
+TARGET_FPS = 5000.0
+
+CONFIGS = [
+    # (name, preset path, source (h, w), batch)
+    ("scanline-320", SHADERS / "interpolation/sharp-bilinear-scanlines.glslp", (240, 320), 32),
+    ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 8),
+    ("crt-mattias-1080p", SHADERS / "crt/crt-mattias.glslp", (1080, 1920), 4),
+    ("ntsc-320px", SHADERS / "ntsc/ntsc-320px.glslp", (240, 320), 16),
+    ("feedback-ghost-yuyv", REPO / "assets/presets/feedback-ghost.glslp", (240, 320), 16),
+]
+
+VIEWPORT = (1920, 1080)  # (W, H)
+
+
+def bench_config(name, preset, shape, batch, *, iters=8, warmup=2):
+    import jax
+    import jax.numpy as jnp
+
+    from retrocapture_tpu.ops.colorspace import yuyv_to_rgb
+    from retrocapture_tpu.runtime.engine import Engine
+
+    h, w = shape
+    rng = np.random.default_rng(0)
+    e = Engine(viewport=VIEWPORT)
+    if not e.load_preset(str(preset)):
+        return {"name": name, "error": e.last_error}
+
+    fused_yuyv = name.endswith("yuyv")
+    if fused_yuyv:
+        raw = jnp.asarray(
+            (rng.random((batch, h, w * 2)) * 255).astype(np.uint8)
+        )
+
+        def produce():
+            return yuyv_to_rgb(raw, w, h)
+
+    else:
+        frames = jnp.asarray((rng.random((batch, h, w, 3)) * 255).astype(np.uint8))
+
+        def produce():
+            return frames
+
+    # Warmup (compile)
+    t_compile = time.time()
+    out = e.apply(produce())
+    out.block_until_ready()
+    t_compile = time.time() - t_compile
+    for _ in range(warmup - 1):
+        e.apply(produce()).block_until_ready()
+
+    t0 = time.time()
+    n = 0
+    for _ in range(iters):
+        out = e.apply(produce())
+        n += batch
+    out.block_until_ready()
+    dt = time.time() - t0
+    fps = n / dt
+    return {
+        "name": name,
+        "fps": round(fps, 1),
+        "ms_per_frame": round(1000.0 * dt / n, 3),
+        "compile_s": round(t_compile, 1),
+        "batch": batch,
+    }
+
+
+def main() -> int:
+    results = []
+    for name, preset, shape, batch in CONFIGS:
+        try:
+            r = bench_config(name, preset, shape, batch)
+        except Exception as ex:  # noqa: BLE001
+            r = {"name": name, "error": f"{type(ex).__name__}: {ex}"}
+        results.append(r)
+        print(f"# {r}", file=sys.stderr, flush=True)
+
+    good = [r["fps"] for r in results if "fps" in r]
+    if good:
+        geo = float(np.exp(np.mean(np.log(good))))
+    else:
+        geo = 0.0
+    line = {
+        "metric": "1080p shader-chain frames/sec/chip (geomean of 5 BASELINE configs)",
+        "value": round(geo, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(geo / TARGET_FPS, 3),
+        "configs": results,
+    }
+    print(json.dumps(line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -78,13 +78,21 @@ class _ChainState:
 class Engine:
     """load preset → set parameters → process frames."""
 
-    def __init__(self, viewport: Optional[tuple[int, int]] = None):
+    def __init__(
+        self,
+        viewport: Optional[tuple[int, int]] = None,
+        *,
+        mesh=None,
+        spatial: bool = False,
+    ):
         self._program: Optional[PresetProgram] = None
         self._preset: Optional[Preset] = None
         self._custom_params: dict[str, float] = {}
         self._viewport = viewport  # (W, H) or None → source size
         self._jit_cache: dict = {}
         self._states: dict = {}
+        self._mesh = mesh  # jax.sharding.Mesh: batch over 'data' axis
+        self._spatial = spatial  # additionally shard W over 'space'
         self.shader_active = False
         self.last_error: Optional[str] = None
 
@@ -189,6 +197,11 @@ class Engine:
         key = (h, w, vw, vh)
         state = self._get_state(key, src.dtype)
         fn = self._get_jit(key)
+        temporal = self._program.uses_history() or self._program.uses_feedback()
+        if self._mesh is not None and not temporal:
+            from retrocapture_tpu.parallel.mesh import shard_frames
+
+            src = shard_frames(src, self._mesh, spatial=self._spatial)
         out, new_state = fn(src, state)
         self._states[key] = new_state
         out = out[..., :3]
@@ -295,9 +308,26 @@ class Engine:
                     state.time + jnp.float32(0.016) * n,
                 )
 
-        fn = jax.jit(batch_fn)
+        if self._mesh is not None and not temporal:
+            # Data-parallel over the mesh: frames shard over 'data' (and
+            # optionally W over 'space'); temporal-state scalars replicate.
+            from retrocapture_tpu.parallel.mesh import frame_sharding, replicated
+
+            fs = frame_sharding(self._mesh, spatial=self._spatial)
+            rep = replicated(self._mesh)
+            fn = jax.jit(
+                batch_fn,
+                in_shardings=(fs, jax.tree.map(lambda _: rep, self._state_proto(key))),
+                out_shardings=(fs, jax.tree.map(lambda _: rep, self._state_proto(key))),
+            )
+        else:
+            fn = jax.jit(batch_fn)
         self._jit_cache[key] = fn
         return fn
+
+    def _state_proto(self, key):
+        """A structural skeleton of the chain state for sharding trees."""
+        return self._get_state(key, jnp.float32)
 
 
 # jax.tree registration for _ChainState

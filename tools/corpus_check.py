@@ -1,0 +1,98 @@
+"""Corpus coverage sweep: try to load + apply every shipped .glslp.
+
+Mirrors the reference's resilience contract (compile failure degrades to
+passthrough, ShaderEngine.cpp:294-314) but here we want the raw error so
+we can close frontend gaps. Run:
+
+    python tools/corpus_check.py [--limit N] [--filter SUBSTR] [--out report.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import traceback
+from collections import Counter
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from retrocapture_tpu.runtime.engine import Engine
+
+SHADERS = Path("/root/reference/shaders/shaders_glsl")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--filter", default="")
+    ap.add_argument("--out", default="corpus_report.json")
+    ap.add_argument("--size", default="48x64", help="HxW of the test frame")
+    args = ap.parse_args()
+
+    h, w = (int(x) for x in args.size.split("x"))
+    frame = (np.random.default_rng(0).random((h, w, 3)) * 255).astype(np.uint8)
+
+    presets = sorted(SHADERS.rglob("*.glslp"))
+    if args.filter:
+        presets = [p for p in presets if args.filter in str(p)]
+    if args.limit:
+        presets = presets[: args.limit]
+
+    results = []
+    counts = Counter()
+    t_start = time.time()
+    for i, path in enumerate(presets):
+        rel = str(path.relative_to(SHADERS))
+        e = Engine(viewport=(2 * w, 2 * h))
+        rec = {"preset": rel}
+        try:
+            ok = e.load_preset(str(path))
+            if not ok:
+                rec["status"] = "load_fail"
+                rec["error"] = e.last_error
+            else:
+                out = np.asarray(e.apply(frame))
+                if not np.all(np.isfinite(out)):
+                    rec["status"] = "nonfinite"
+                elif float(out.std()) == 0.0:
+                    rec["status"] = "flat"
+                    rec["mean"] = float(out.mean())
+                else:
+                    rec["status"] = "ok"
+        except Exception as ex:  # noqa: BLE001
+            rec["status"] = "apply_fail"
+            rec["error"] = f"{type(ex).__name__}: {ex}"
+            rec["trace"] = traceback.format_exc(limit=5)
+        counts[rec["status"]] += 1
+        results.append(rec)
+        if (i + 1) % 25 == 0:
+            print(
+                f"[{i+1}/{len(presets)}] {dict(counts)} ({time.time()-t_start:.0f}s)",
+                flush=True,
+            )
+
+    print(f"DONE {dict(counts)} in {time.time()-t_start:.0f}s")
+    Path(args.out).write_text(json.dumps(results, indent=1))
+
+    # top error signatures
+    sigs = Counter()
+    for r in results:
+        if r["status"] in ("load_fail", "apply_fail"):
+            sig = (r.get("error") or "")[:120]
+            sigs[sig] += 1
+    for sig, n in sigs.most_common(25):
+        print(f"{n:4d}  {sig}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
