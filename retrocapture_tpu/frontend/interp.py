@@ -205,6 +205,12 @@ class ShaderEval:
             if isinstance(v, V) and v.type.shape == (4,):
                 out = v
                 break
+        if out is None:
+            frag_data = self.globals.get("gl_FragData")
+            if isinstance(frag_data, ArrayVal) and frag_data.elems:
+                cand = frag_data.elems[0]
+                if isinstance(cand, V) and cand.type.shape == (4,):
+                    out = cand
         return self.globals, out, self.discard_mask
 
     # -- globals --------------------------------------------------------
@@ -533,12 +539,26 @@ class ShaderEval:
         return m
 
     # -- variable access ------------------------------------------------
+    # Built-in fragment outputs exist without declaration (GLSL <= 1.20);
+    # they must live in globals so run() can read them after main() pops.
+    _BUILTIN_OUTPUTS = ("gl_FragColor", "gl_FragDepth")
+
     def _lookup(self, name: str):
         fr = self.frames[-1]
         if name in fr.locals:
             return fr.locals[name]
         if name in self.globals:
             return self.globals[name]
+        if name == "gl_FragColor":
+            v = V(np.zeros(4, np.float32), GType("float", (4,)))
+            self.globals[name] = v
+            return v
+        if name == "gl_FragData":
+            # MRT array; only element 0 (the color buffer) is meaningful.
+            zero = V(np.zeros(4, np.float32), GType("float", (4,)))
+            arr = ArrayVal([zero, zero, zero, zero], GType("float", (4,)))
+            self.globals[name] = arr
+            return arr
         return None
 
     def _write_var(self, name: str, val) -> None:
@@ -547,6 +567,8 @@ class ShaderEval:
             fr.locals[name] = _masked_merge(fr.locals[name], val, self.mask)
         elif name in self.globals:
             self.globals[name] = _masked_merge(self.globals[name], val, self.mask)
+        elif name in self._BUILTIN_OUTPUTS:
+            self.globals[name] = val
         else:
             fr.locals[name] = val
 

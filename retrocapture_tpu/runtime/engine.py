@@ -191,7 +191,7 @@ class Engine:
         vw, vh = self._viewport or (w, h)
 
         if self._program is None:
-            out = self._passthrough(src, vw, vh)
+            out = self._passthrough(src, vw, vh)[..., :3]
             return out if batched else out[0]
 
         key = (h, w, vw, vh)

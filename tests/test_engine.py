@@ -1,0 +1,205 @@
+"""End-to-end Engine tests on real reference shaders (CPU, tiny shapes).
+
+Mirrors the reference's content-assertion strategy (tools/smoke-test.sh
+:168-299): decode actual output and assert statistics, rather than
+mocking internals.
+"""
+
+import numpy as np
+import pytest
+
+from retrocapture_tpu import Engine
+
+SH = "/root/reference/shaders/shaders_glsl/"
+
+
+def smpte_frame(h=48, w=64):
+    """8-bar SMPTE-ish pattern like VideoCaptureTestPattern.cpp:56-102."""
+    bars = np.array(
+        [
+            [255, 255, 255],
+            [255, 255, 0],
+            [0, 255, 255],
+            [0, 255, 0],
+            [255, 0, 255],
+            [255, 0, 0],
+            [0, 0, 255],
+            [16, 16, 16],
+        ],
+        np.uint8,
+    )
+    frame = np.zeros((h, w, 3), np.uint8)
+    bw = w // 8
+    for i in range(8):
+        frame[:, i * bw : (i + 1) * bw] = bars[i]
+    return frame
+
+
+def test_passthrough_no_preset():
+    e = Engine()
+    f = smpte_frame()
+    out = np.asarray(e.apply(f))
+    assert out.shape == (48, 64, 3)
+    np.testing.assert_allclose(out, f.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_passthrough_resizes_to_viewport():
+    e = Engine(viewport=(128, 96))
+    out = np.asarray(e.apply(smpte_frame()))
+    assert out.shape == (96, 128, 3)
+
+
+def test_load_failure_degrades_to_passthrough(tmp_path):
+    bad = tmp_path / "bad.glslp"
+    bad.write_text("shaders = 1\nshader0 = missing.glsl\n")
+    e = Engine()
+    assert not e.load_preset(str(bad))
+    assert e.last_error is not None
+    assert not e.shader_active
+    f = smpte_frame()
+    out = np.asarray(e.apply(f))
+    np.testing.assert_allclose(out, f.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_crt_mattias_end_to_end():
+    e = Engine(viewport=(128, 96))
+    assert e.load_preset(SH + "crt/crt-mattias.glslp"), e.last_error
+    out = np.asarray(e.apply(smpte_frame())) * 255.0
+    assert out.shape == (96, 128, 3)
+    assert np.isfinite(out).all()
+    # smoke-test.sh thresholds: output visibly differs from input and
+    # keeps spatial structure.
+    assert out.std() >= 20.0
+    raw = np.asarray(Engine(viewport=(128, 96)).apply(smpte_frame())) * 255.0
+    assert np.abs(out - raw).mean() >= 5.0
+
+
+def test_multipass_hyllian_glow():
+    e = Engine(viewport=(128, 96))
+    assert e.load_preset(SH + "crt/crt-hyllian-glow.glslp"), e.last_error
+    out = np.asarray(e.apply(smpte_frame()))
+    assert out.shape == (96, 128, 3)
+    assert np.isfinite(out).all()
+    assert out.std() > 0.0
+
+
+def test_xbr_lv2_upscale():
+    e = Engine(viewport=(256, 192))
+    assert e.load_preset(SH + "xbr/xbr-lv2.glslp"), e.last_error
+    out = np.asarray(e.apply(smpte_frame()))
+    assert out.shape == (192, 256, 3)
+    assert np.isfinite(out).all()
+
+
+def test_parameters_roundtrip_and_clamp():
+    e = Engine()
+    assert e.load_preset(SH + "crt/crt-mattias.glslp"), e.last_error
+    params = e.get_parameters()
+    assert params, "crt-mattias declares pragma parameters"
+    p = params[0]
+    assert e.set_parameter(p["name"], p["max"] + 100.0)
+    assert e.get_parameter(p["name"]) == p["max"]  # clamped
+    assert not e.set_parameter("definitely_not_a_param", 1.0)
+
+
+def test_parameter_changes_output():
+    e = Engine(viewport=(64, 48))
+    assert e.load_preset(SH + "crt/crt-mattias.glslp"), e.last_error
+    f = smpte_frame()
+    base = np.asarray(e.apply(f))
+    names = {p["name"]: p for p in e.get_parameters()}
+    assert "CURVATURE" in names
+    e.set_parameter("CURVATURE", names["CURVATURE"]["max"])
+    out = np.asarray(e.apply(f))
+    assert np.abs(out - base).mean() > 1e-4
+
+
+def test_batch_matches_single():
+    e = Engine(viewport=(64, 48))
+    assert e.load_preset(SH + "crt/crt-mattias.glslp"), e.last_error
+    f = smpte_frame()
+    single = np.asarray(e.apply(f))
+    e.reset_state()  # FrameCount-sensitive shader: compare at same state
+    batch = np.asarray(e.apply(np.stack([f, f])))
+    np.testing.assert_allclose(batch[0], single, atol=1e-5)
+    np.testing.assert_allclose(batch[1], single, atol=1e-5)
+
+
+def test_history_preset_motionblur():
+    """motionblur-simple samples PrevTexture — the 7-deep history ring
+    (ShaderEngine.cpp:1731-1865)."""
+    e = Engine(viewport=(64, 48))
+    assert e.load_preset(SH + "motionblur/motionblur-simple.glslp"), e.last_error
+    assert e._program.uses_history()
+    black = np.zeros((48, 64, 3), np.uint8)
+    white = np.full((48, 64, 3), 255, np.uint8)
+    # Feed black then white: the blur should mix previous (black) frames in.
+    out_b = np.asarray(e.apply(black))
+    out_w = np.asarray(e.apply(white))
+    assert out_w.mean() < 1.0  # not pure white: history dimmed it
+    assert out_w.mean() > 0.1  # but not black either
+    # Keep feeding white: converges towards white.
+    for _ in range(8):
+        out_w2 = np.asarray(e.apply(white))
+    assert out_w2.mean() > out_w.mean()
+
+
+def test_feedback_preset_ghost():
+    """PassFeedback ping-pong (ShaderEngine.cpp:1280-1347, :1710-1718)."""
+    import pathlib
+
+    preset = pathlib.Path(__file__).resolve().parents[1] / "assets/presets/feedback-ghost.glslp"
+    e = Engine(viewport=(64, 48))
+    assert e.load_preset(str(preset)), e.last_error
+    assert e._program.uses_feedback()
+    white = np.full((48, 64, 3), 255, np.uint8)
+    o1 = np.asarray(e.apply(white)).mean()
+    o2 = np.asarray(e.apply(white)).mean()
+    o3 = np.asarray(e.apply(white)).mean()
+    # First frame mixes with zero feedback -> dimmer; converges up.
+    assert o1 < 0.99
+    assert o1 < o2 < o3
+
+
+def test_temporal_scan_over_batch():
+    """For temporal presets a batch is a time sequence (lax.scan)."""
+    import pathlib
+
+    preset = pathlib.Path(__file__).resolve().parents[1] / "assets/presets/feedback-ghost.glslp"
+    e = Engine(viewport=(64, 48))
+    assert e.load_preset(str(preset)), e.last_error
+    white = np.full((4, 48, 64, 3), 255, np.uint8)
+    outs = np.asarray(e.apply(white))
+    means = outs.mean(axis=(1, 2, 3))
+    assert (np.diff(means) > 0).all(), means  # ghost accumulates over time
+
+
+def test_mesh_sharded_apply():
+    import jax
+
+    from retrocapture_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(4, 2)
+    e = Engine(viewport=(64, 48), mesh=mesh, spatial=True)
+    assert e.load_preset(SH + "crt/crt-mattias.glslp"), e.last_error
+    f = np.stack([smpte_frame()] * 8)
+    out = np.asarray(e.apply(f))
+    assert out.shape == (8, 48, 64, 3)
+    ref_e = Engine(viewport=(64, 48))
+    assert ref_e.load_preset(SH + "crt/crt-mattias.glslp")
+    ref = np.asarray(ref_e.apply(smpte_frame()))
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)
+
+
+def test_ntsc_two_pass_temporal():
+    e = Engine(viewport=(128, 96))
+    assert e.load_preset(SH + "ntsc/ntsc-320px.glslp"), e.last_error
+    f = smpte_frame()
+    out1 = np.asarray(e.apply(f))
+    out2 = np.asarray(e.apply(f))
+    assert out1.shape == (96, 128, 3)
+    assert np.isfinite(out1).all() and np.isfinite(out2).all()
+    # frame_count_mod0 = 2: phase alternates between consecutive frames.
+    assert np.abs(out1 - out2).max() > 1e-4
