@@ -23,6 +23,7 @@ from retrocapture_tpu.frontend.values import (
     INT,
     V,
     align_pair,
+    combine_affine,
     is_concrete,
     promote_base,
 )
@@ -107,16 +108,21 @@ def apply_binary(op: str, a: V, b: V) -> V:
         return V(fn(aa.data, bb.data), t)
     aa, bb, t = align_pair(a, b)
     xp = _xp(aa.data, bb.data)
+    if op in ("+", "-", "*", "/") and t.base == "float":
+        # Affine coordinate metadata survives linear ops (values.py).
+        aff = combine_affine(op, a, b, t.ncomp)
+    else:
+        aff = None
     if op == "+":
-        return V(aa.data + bb.data, t)
+        return V(aa.data + bb.data, t, affine=aff)
     if op == "-":
-        return V(aa.data - bb.data, t)
+        return V(aa.data - bb.data, t, affine=aff)
     if op == "*":
-        return V(aa.data * bb.data, t)
+        return V(aa.data * bb.data, t, affine=aff)
     if op == "/":
         if t.base in ("int", "uint"):
             return V(trunc_div_int(xp, aa.data, bb.data), t)
-        return V(aa.data / bb.data, t)
+        return V(aa.data / bb.data, t, affine=aff)
     if op == "%":
         if t.base in ("int", "uint"):
             q = trunc_div_int(xp, aa.data, bb.data)
@@ -138,7 +144,12 @@ def apply_binary(op: str, a: V, b: V) -> V:
 def apply_unary(op: str, a: V) -> V:
     xp = _xp(a.data)
     if op == "-":
-        return V(-a.data, a.type)
+        aff = (
+            tuple((-x[0], -x[1], -x[2]) for x in a.affine)
+            if a.affine is not None and a.type.base == "float"
+            else None
+        )
+        return V(-a.data, a.type, affine=aff)
     if op == "+":
         return a
     if op == "!":
@@ -495,6 +506,16 @@ _BUILTINS: dict[str, Callable] = {
     "not": _b_not,
     "isnan": _b_isnan,
     "isinf": _b_isinf,
+    # Non-standard names that appear in corpus shaders without a local
+    # definition (HLSL-isms and C leftovers GL drivers tolerate).
+    "fmod": lambda a, b: _cw(
+        # C fmod truncates toward zero (unlike GLSL mod's floor).
+        lambda xp, x, y: x - xp.trunc(x / y) * y,
+        a,
+        b,
+        result_base="float",
+    ),
+    "saturate": lambda a: _cw(lambda xp, d: xp.clip(d, 0.0, 1.0), a, result_base="float"),
     "floatBitsToInt": _b_float_bits_to_int,
     "floatBitsToUint": _b_float_bits_to_int,
     "intBitsToFloat": _b_int_bits_to_float,

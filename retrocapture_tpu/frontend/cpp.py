@@ -188,14 +188,26 @@ class Preprocessor:
         def active() -> bool:
             return all(frame[2] for frame in stack)
 
+        pending: list[str] = []  # active ordinary lines awaiting expansion
+
+        def flush() -> None:
+            # Expand a contiguous run of ordinary lines as ONE token
+            # stream so function-like macro calls spanning lines (e.g.
+            # adaptive-sharpen's max4 over two lines) expand correctly.
+            if pending:
+                out.extend(self._expand_region(pending))
+                pending.clear()
+
         for line in lines:
             m = re.match(r"\s*#\s*(\w+)\b(.*)", line)
             if not m:
                 if active():
-                    out.append(self._expand_line(line))
+                    pending.append(line)
                 else:
+                    flush()
                     out.append("")
                 continue
+            flush()
             directive, rest = m.group(1), m.group(2).strip()
             if directive in ("if", "ifdef", "ifndef"):
                 parent = active()
@@ -251,6 +263,28 @@ class Preprocessor:
                 out.append("")
             else:
                 out.append("")
+        flush()
+        return out
+
+    def _expand_region(self, lines: list[str]) -> list[str]:
+        """Expand a run of ordinary lines as one token stream, with "\\n"
+        tokens marking line boundaries."""
+        tokens: list[str] = []
+        for ln in lines:
+            tokens.extend(_tokenize(ln))
+            tokens.append("\n")
+        if not any(t in self.macros for t in tokens):
+            return lines
+        expanded = self._expand_tokens(tokens, frozenset())
+        text = _detokenize(expanded)
+        out = text.split("\n")
+        # The trailing "\n" token yields one empty tail entry.
+        if out and out[-1] == "":
+            out.pop()
+        # Newlines may be consumed inside macro arg lists; keep the line
+        # count stable for downstream error messages.
+        while len(out) < len(lines):
+            out.append("")
         return out
 
     def _handle_define(self, rest: str) -> None:
@@ -320,7 +354,7 @@ class Preprocessor:
                 continue
             # function-like: need '(' as next non-space token
             j = i + 1
-            while j < n and tokens[j] == " ":
+            while j < n and tokens[j] in (" ", "\n"):
                 j += 1
             if j >= n or tokens[j] != "(":
                 out.append(tok)
@@ -377,6 +411,8 @@ def _collect_args(tokens: list[str], open_idx: int):
             args[-1].append(t)
         elif t == "," and depth == 1:
             args.append([])
+        elif t == "\n":
+            args[-1].append(" ")
         else:
             args[-1].append(t)
         i += 1
@@ -411,8 +447,8 @@ def _detokenize(tokens: list[str]) -> str:
     out: list[str] = []
     prev = ""
     for t in tokens:
-        if t == " ":
-            out.append(" ")
+        if t in (" ", "\n"):
+            out.append(t)
             prev = " "
             continue
         if prev and prev != " " and _needs_space(prev, t):

@@ -47,6 +47,7 @@ from retrocapture_tpu.frontend.values import (
     StructVal,
     TYPE_NAMES,
     V,
+    affine_of,
     align_pair,
     is_concrete,
     swizzle_indices,
@@ -239,6 +240,7 @@ class ShaderEval:
                         val = V(
                             val.data[..., : want.shape[0]],
                             GType(val.type.base, want.shape),
+                            affine=val.affine[: want.shape[0]] if val.affine else None,
                         )
                     self.globals[name] = val
                     continue
@@ -294,6 +296,14 @@ class ShaderEval:
             arr = ArrayVal([base] * max(n, 0), elem_t)
             return arr
         return base
+
+    def _static_int(self, e) -> int:
+        """Evaluate a compile-time-constant integer expression (array
+        sizes; GLSL requires constant expressions here)."""
+        v = self.eval(e)
+        if isinstance(v, V) and is_concrete(v.data) and v.batch_shape == ():
+            return int(v.data)
+        raise UnsupportedShaderError("non-constant array size")
 
     def _zero_for_type(self, type_name: str):
         gtype = TYPE_NAMES.get(type_name, FLOAT)
@@ -454,9 +464,18 @@ class ShaderEval:
     def _exec_for(self, s: A.For) -> None:
         if s.init is not None:
             self.exec_stmt(s.init)
-        self._exec_loop(None, s.cond, s.step, s.body)
+        # A step that only touches a simple induction variable updates it
+        # UNMASKED: masked-off pixels advancing their counter is harmless
+        # (their body writes are masked), and it keeps the counter — and
+        # therefore the loop condition — concrete even when the loop sits
+        # inside a data-dependent if. This is how divergent lanes execute
+        # on real GPUs: everyone iterates, effects are predicated.
+        step_uniform = _is_simple_induction_step(s.step)
+        self._exec_loop(None, s.cond, s.step, s.body, step_uniform=step_uniform)
 
-    def _exec_loop(self, _init, cond_expr, step_expr, body, do_while=False) -> None:
+    def _exec_loop(
+        self, _init, cond_expr, step_expr, body, do_while=False, step_uniform=False
+    ) -> None:
         lp = _LoopCtx()
         self.loop_stack.append(lp)
         outer = self.mask
@@ -493,8 +512,14 @@ class ShaderEval:
                     break
                 # -- step (continue skips the body, not the step)
                 if step_expr is not None:
-                    self.mask = self._prune_mask_no_continue(outer, lp)
-                    self.eval(step_expr)
+                    if step_uniform:
+                        saved = self.mask
+                        self.mask = None
+                        self.eval(step_expr)
+                        self.mask = saved
+                    else:
+                        self.mask = self._prune_mask_no_continue(outer, lp)
+                        self.eval(step_expr)
                 # -- do-while bottom condition
                 if do_while and cond_expr is not None:
                     c = self.eval(cond_expr).astype("bool")
@@ -752,10 +777,19 @@ class ShaderEval:
                     col = val if isinstance(val, V) else val
                     data = jnp.asarray(obj.data) if not is_concrete(obj.data) or not is_concrete(col.data) else np.array(obj.data, copy=True)
                     if is_concrete(data) and is_concrete(col.data):
+                        cb = np.shape(col.data)[:-1]
+                        if cb and np.shape(data)[:-2] != cb:
+                            data = np.broadcast_to(data, cb + data.shape[-2:]).copy()
                         data[..., i, :] = col.data
                         nv = V(data, obj.type)
                     else:
-                        nv = V(jnp.asarray(obj.data).at[..., i, :].set(col.data), obj.type)
+                        d = jnp.asarray(obj.data)
+                        cd = jnp.asarray(col.data)
+                        cb = cd.shape[:-1]
+                        if cb and d.shape[: len(cb)] != cb:
+                            # batched column into an unbatched matrix
+                            d = jnp.broadcast_to(d, cb + d.shape[-2:])
+                        nv = V(d.at[..., i, :].set(cd), obj.type)
                     if self.mask is not None:
                         nv = _masked_merge(obj, nv, self.mask)
                     self._assign_lvalue_raw(target.obj, nv)
@@ -814,6 +848,13 @@ class ShaderEval:
             return self._eval_texture(name, e.args)
         if name in ("dFdx", "dFdy", "fwidth"):
             return self._eval_derivative(name, e.args)
+        if name == "modf" and len(e.args) == 2:
+            # modf(x, out ipart): returns fractional part, writes integral.
+            x = self.eval(e.args[0]).astype("float")
+            xp = np if is_concrete(x.data) else jnp
+            ip = xp.trunc(x.data)
+            self._assign_lvalue(e.args[1], V(ip, x.type))
+            return V(x.data - ip, x.type)
         if name in self.fns:
             return self._call_user(name, e)
         if is_builtin(name):
@@ -840,23 +881,30 @@ class ShaderEval:
         if len(args) == 1 and args[0].type.is_matrix:
             raise UnsupportedShaderError("vec(mat) constructor")
         comps = []
+        comp_affs: list = []
         for a in args:
             if a.type.is_scalar:
                 comps.append(a.astype(t.base).data)
+                fa = affine_of(a, 1) if t.base == "float" else None
+                comp_affs.append(fa[0] if fa else None)
             else:
                 d = a.astype(t.base).data
+                fa = affine_of(a, a.type.shape[0]) if t.base == "float" else None
                 for i in range(a.type.shape[0]):
                     comps.append(d[..., i])
+                    comp_affs.append(fa[i] if fa else None)
         comps = comps[:n]
+        comp_affs = comp_affs[:n]
         if len(comps) < n:
             raise UnsupportedShaderError(
                 f"{type_name} constructor with {len(comps)} components"
             )
+        aff = tuple(comp_affs) if all(x is not None for x in comp_affs) else None
         if all(is_concrete(c) for c in comps):
             comps = np.broadcast_arrays(*[np.asarray(c) for c in comps])
-            return V(np.stack(comps, axis=-1), t)
+            return V(np.stack(comps, axis=-1), t, affine=aff)
         comps = jnp.broadcast_arrays(*[jnp.asarray(c) for c in comps])
-        return V(jnp.stack(comps, axis=-1), t)
+        return V(jnp.stack(comps, axis=-1), t, affine=aff)
 
     def _construct_matrix(self, t: GType, args: list):
         c, r = t.shape
@@ -950,7 +998,7 @@ class ShaderEval:
 
     # -- textures -------------------------------------------------------
     def _eval_texture(self, name: str, raw_args: list[A.Expr]):
-        from retrocapture_tpu.ops.sampling import sample2d
+        from retrocapture_tpu.ops.sampling import sample2d, sample2d_affine
 
         args = [self.eval(a) for a in raw_args]
         sampler = args[0]
@@ -960,8 +1008,10 @@ class ShaderEval:
 
         if name == "textureSize":
             return V(np.array([w, h], np.int32), GType("int", (2,)))
-        if name == "texelFetch":
+        if name in ("texelFetch", "texelFetchOffset"):
             ip = args[1].astype("int")
+            if name == "texelFetchOffset" and len(args) >= 4:
+                ip = apply_binary("+", ip, args[3].astype("int"))
             ix = jnp.clip(jnp.asarray(ip.data[..., 0]), 0, w - 1)
             iy = jnp.clip(jnp.asarray(ip.data[..., 1]), 0, h - 1)
             flat = jnp.asarray(sampler.tex).reshape(h * w, -1)
@@ -973,18 +1023,50 @@ class ShaderEval:
             d = uv.data
             last = uv.type.shape[0] - 1
             uv = V(d[..., :2] / d[..., last : last + 1], GType("float", (2,)))
-        if name in ("textureOffset", "texture2DOffset"):
-            off = args[2].astype("float")
+        if name in ("textureOffset", "texture2DOffset", "textureLodOffset"):
+            off = args[3 if name == "textureLodOffset" else 2].astype("float")
             texel = np.array([1.0 / w, 1.0 / h], np.float32)
-            uv = V(uv.data[..., :2] + off.data * texel, GType("float", (2,)))
-        # Keep concrete coords as NumPy: sample2d's separable fast path
-        # needs trace-time-constant grids to build MXU resampling matrices.
+            new_aff = None
+            if uv.affine is not None and is_concrete(off.data) and off.batch_shape == ():
+                od = np.asarray(off.data, np.float64)
+                new_aff = (
+                    (uv.affine[0][0], uv.affine[0][1], uv.affine[0][2] + od[0] / w),
+                    (uv.affine[1][0], uv.affine[1][1], uv.affine[1][2] + od[1] / h),
+                )
+            uv = V(
+                uv.data[..., :2] + off.data * texel,
+                GType("float", (2,)),
+                affine=new_aff,
+            )
+
+        # Affine fast path: coords provably separable over the output grid
+        # → two small resampling matmuls on the MXU, no per-pixel coord
+        # tensors in the graph at all (sampling.sample2d_affine).
+        aff = affine_of(uv, uv.type.shape[0]) if uv.type.is_vector else None
+        if (
+            aff is not None
+            and len(aff) >= 2
+            and aff[0][1] == 0.0
+            and aff[1][0] == 0.0
+        ):
+            ow, oh = self.ctx.out_size
+            bs = uv.batch_shape
+            if bs == (oh, ow):
+                out = sample2d_affine(
+                    jnp.asarray(sampler.tex),
+                    aff[0],
+                    aff[1],
+                    oh,
+                    ow,
+                    filter_linear=sampler.filter_linear,
+                    wrap_mode=sampler.wrap_mode,
+                )
+                return V(out, GType("float", (4,)))
+
         d = uv.data
         if is_concrete(d):
             d = np.asarray(d, np.float32)
-            u, v = d[..., 0], d[..., 1]
-        else:
-            u, v = d[..., 0], d[..., 1]
+        u, v = d[..., 0], d[..., 1]
         out = sample2d(
             jnp.asarray(sampler.tex),
             u,
@@ -997,6 +1079,19 @@ class ShaderEval:
     def _eval_derivative(self, name: str, raw_args: list[A.Expr]):
         v = self.eval(raw_args[0]).astype("float")
         d = v.data
+        aff = v.affine
+        if aff is not None and len(aff) == v.type.ncomp:
+            # Affine values have exact constant screen-space derivatives.
+            if name == "dFdx":
+                vals = [t[0] for t in aff]
+            elif name == "dFdy":
+                vals = [t[1] for t in aff]
+            else:
+                vals = [abs(t[0]) + abs(t[1]) for t in aff]
+            arr = np.asarray(vals, np.float32)
+            if v.type.is_scalar:
+                return V(arr[0], v.type)
+            return V(arr, v.type)
         if is_concrete(d):
             return V(np.zeros_like(np.asarray(d)), v.type)
         d = jnp.asarray(d)
@@ -1025,15 +1120,31 @@ class ShaderEval:
         return V(jnp.abs(quad_diff(d, ax_x)) + jnp.abs(quad_diff(d, ax_y)), v.type)
 
 
+def _is_simple_induction_step(step) -> bool:
+    """True when a for-step only writes one simple variable (i++/i--/
+    i+=c/i-=c/i=i+c): safe to execute unmasked."""
+    if step is None:
+        return False
+    if isinstance(step, (A.PrefixIncDec, A.PostfixIncDec)):
+        return isinstance(step.operand, A.Ident)
+    if isinstance(step, A.Assign):
+        return isinstance(step.target, A.Ident)
+    if isinstance(step, A.Comma):
+        return all(_is_simple_induction_step(p) for p in step.parts)
+    return False
+
+
 _TEXTURE_FNS = {
     "texture",
     "texture2D",
     "textureLod",
     "texture2DLod",
     "texelFetch",
+    "texelFetchOffset",
     "textureSize",
     "textureOffset",
     "texture2DOffset",
+    "textureLodOffset",
     "textureProj",
     "texture2DProj",
     "textureGrad",

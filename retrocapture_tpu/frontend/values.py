@@ -117,13 +117,23 @@ def scalar_of(value: float, base: str = "float") -> "V":
 
 
 class V:
-    """A typed GLSL value."""
+    """A typed GLSL value.
 
-    __slots__ = ("data", "type")
+    ``affine`` is optional coordinate metadata: a tuple of per-component
+    triples ``(a, b, c)`` meaning ``component = a*X + b*Y + c`` where X is
+    the output pixel column index and Y the row index (0-based floats).
+    It rides along through +,-,*,/-by-constant, swizzles, and vector
+    constructors; ``texture()`` uses it to prove a sample grid is
+    separable and lower to the MXU resampling-matmul path even though the
+    data itself is a traced array (sampling.py). Any op that cannot
+    preserve it just drops it."""
 
-    def __init__(self, data, type: GType):
+    __slots__ = ("data", "type", "affine")
+
+    def __init__(self, data, type: GType, affine=None):
         self.data = data
         self.type = type
+        self.affine = affine
 
     # -- shape helpers --------------------------------------------------
     @property
@@ -157,7 +167,10 @@ class V:
             d = d[..., None]
         xp = np if concrete else jnp
         d = xp.broadcast_to(d, d.shape[: d.ndim - len(type_shape)] + type_shape)
-        return V(d, GType(self.type.base, type_shape))
+        aff = None
+        if self.affine is not None and len(type_shape) == 1:
+            aff = tuple(self.affine[0] for _ in range(type_shape[0]))
+        return V(d, GType(self.type.base, type_shape), affine=aff)
 
     def component(self, i: int) -> "V":
         if self.type.is_scalar:
@@ -233,17 +246,23 @@ def swizzle_read(v: V, name: str) -> V:
         raise GlslEvalError(f"bad swizzle {name!r} on {v.type}")
     if not v.type.is_vector and not v.type.is_scalar:
         raise GlslEvalError(f"swizzle on {v.type}")
+    aff = v.affine
     if v.type.is_scalar:
         # scalar.x / scalar.xx — tolerated by some drivers
         if len(idx) == 1:
             return v
         xp = np if is_concrete(v.data) else jnp
-        return V(xp.stack([v.data] * len(idx), axis=-1), GType(v.type.base, (len(idx),)))
+        return V(
+            xp.stack([v.data] * len(idx), axis=-1),
+            GType(v.type.base, (len(idx),)),
+            affine=tuple(aff[0] for _ in idx) if aff else None,
+        )
+    sub_aff = tuple(aff[i] for i in idx) if aff and len(aff) > max(idx) else None
     if len(idx) == 1:
-        return V(v.data[..., idx[0]], GType(v.type.base, ()))
+        return V(v.data[..., idx[0]], GType(v.type.base, ()), affine=sub_aff)
     xp = np if is_concrete(v.data) else jnp
     d = xp.stack([v.data[..., i] for i in idx], axis=-1)
-    return V(d, GType(v.type.base, (len(idx),)))
+    return V(d, GType(v.type.base, (len(idx),)), affine=sub_aff)
 
 
 def swizzle_write(target: V, name: str, value: V) -> V:
@@ -276,6 +295,64 @@ def swizzle_write(target: V, name: str, value: V) -> V:
         cols[i] = c
     cols = jnp.broadcast_arrays(*cols)
     return V(jnp.stack(cols, axis=-1), target.type)
+
+
+# ---------------------------------------------------------------------------
+# Affine coordinate metadata helpers
+
+
+def affine_of(v: V, ncomp: int):
+    """Affine triples for ``v`` expanded to ``ncomp`` components, or None.
+    Concrete batch-less values count as constants ``(0, 0, value)``."""
+    aff = v.affine
+    if aff is None and is_concrete(v.data) and v.batch_shape == ():
+        if v.type.base not in ("float", "int", "uint"):
+            return None
+        d = np.asarray(v.data, np.float64)
+        if v.type.is_scalar:
+            aff = ((0.0, 0.0, float(d)),)
+        elif v.type.is_vector:
+            aff = tuple((0.0, 0.0, float(d[i])) for i in range(v.type.shape[0]))
+        else:
+            return None
+    if aff is None:
+        return None
+    if len(aff) == 1 and ncomp > 1:
+        aff = tuple(aff[0] for _ in range(ncomp))
+    if len(aff) != ncomp:
+        return None
+    return aff
+
+
+def affine_is_const(aff) -> bool:
+    return all(t[0] == 0.0 and t[1] == 0.0 for t in aff)
+
+
+def combine_affine(op: str, a: V, b: V, ncomp: int):
+    """Affine metadata for ``a <op> b``, or None."""
+    fa = affine_of(a, ncomp)
+    fb = affine_of(b, ncomp)
+    if fa is None or fb is None:
+        return None
+    if op == "+":
+        return tuple(
+            (x[0] + y[0], x[1] + y[1], x[2] + y[2]) for x, y in zip(fa, fb)
+        )
+    if op == "-":
+        return tuple(
+            (x[0] - y[0], x[1] - y[1], x[2] - y[2]) for x, y in zip(fa, fb)
+        )
+    if op == "*":
+        if affine_is_const(fb):
+            return tuple((x[0] * y[2], x[1] * y[2], x[2] * y[2]) for x, y in zip(fa, fb))
+        if affine_is_const(fa):
+            return tuple((y[0] * x[2], y[1] * x[2], y[2] * x[2]) for x, y in zip(fa, fb))
+        return None
+    if op == "/":
+        if affine_is_const(fb) and all(y[2] != 0.0 for y in fb):
+            return tuple((x[0] / y[2], x[1] / y[2], x[2] / y[2]) for x, y in zip(fa, fb))
+        return None
+    return None
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["sample2d", "WRAP_MODES"]
+__all__ = ["sample2d", "sample2d_affine", "WRAP_MODES"]
 
 WRAP_MODES = ("clamp_to_edge", "clamp_to_border", "repeat", "mirrored_repeat")
 
@@ -122,6 +122,42 @@ def _separable_rows(u: np.ndarray, v: np.ndarray):
     if not np.all(v == v[:, :1]):
         return None
     return u[0, :], v[:, 0]
+
+
+def sample2d_affine(
+    tex: jax.Array,
+    u_aff: tuple,
+    v_aff: tuple,
+    oh: int,
+    ow: int,
+    *,
+    filter_linear: bool,
+    wrap_mode: str = "clamp_to_edge",
+) -> jax.Array:
+    """Sample ``tex [H, W, C]`` over an output grid whose coordinates are
+    affine in the pixel indices: ``u = u_aff[0]*X + u_aff[2]`` (column X),
+    ``v = v_aff[1]*Y + v_aff[2]`` (row Y). Separable by construction, so
+    the sample lowers to two small dense resampling matmuls on the MXU —
+    the coordinate tensors never exist. Returns ``[oh, ow, C]``.
+
+    This is the hot path the GLSL evaluator proves via affine metadata
+    (frontend/values.py): every non-warping shader tap, every scale pass,
+    every NTSC convolution tap lands here."""
+    if wrap_mode not in WRAP_MODES:
+        wrap_mode = "clamp_to_edge"
+    h, w, _ = tex.shape
+    u_row = (
+        np.float64(u_aff[0]) * np.arange(ow, dtype=np.float64) + np.float64(u_aff[2])
+    ).astype(np.float32)
+    v_col = (
+        np.float64(v_aff[1]) * np.arange(oh, dtype=np.float64) + np.float64(v_aff[2])
+    ).astype(np.float32)
+    ax = _axis_matrix(u_row, w, filter_linear, wrap_mode)
+    ay = _axis_matrix(v_col, h, filter_linear, wrap_mode)
+    th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32
+    ).astype(tex.dtype)
 
 
 def sample2d(

@@ -442,24 +442,42 @@ def _run_chain(
 
 def _run_pass(cp, ctx: PassContext, sh: PassShapes):
     """One pass: vertex stage over the output grid → varyings; fragment
-    stage → [oh, ow, 4] color."""
-    ow, oh = sh.out_w, sh.out_h
-    ugrid, vgrid = _grids(ow, oh)
+    stage → [oh, ow, 4] color.
 
-    tex_coord = V(
-        np.stack(
-            [ugrid, vgrid, np.zeros_like(ugrid), np.ones_like(ugrid)], axis=-1
+    The pixel grids are seeded as *traced* iota-derived arrays carrying
+    affine metadata (values.py): coordinate math stays O(1) at trace time
+    and stays out of the HLO as constants; separable taps lower to MXU
+    matmuls via the metadata, warped taps to on-device gathers."""
+    ow, oh = sh.out_w, sh.out_h
+    xg = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)  # column index
+    yg = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)  # row index
+    ugrid = (xg + 0.5) * np.float32(1.0 / ow)
+    vgrid = (yg + 0.5) * np.float32(1.0 / oh)
+    zeros = jnp.zeros((oh, ow), jnp.float32)
+    ones = jnp.ones((oh, ow), jnp.float32)
+
+    ua = (1.0 / ow, 0.0, 0.5 / ow)
+    va = (0.0, 1.0 / oh, 0.5 / oh)
+    c0 = (0.0, 0.0, 0.0)
+    c1 = (0.0, 0.0, 1.0)
+
+    def vec4(a, b, c, d, aff):
+        return V(jnp.stack([a, b, c, d], axis=-1), GType("float", (4,)), affine=aff)
+
+    tex_coord = vec4(ugrid, vgrid, zeros, ones, (ua, va, c0, c1))
+    vertex_coord = vec4(
+        ugrid * 2.0 - 1.0,
+        vgrid * 2.0 - 1.0,
+        zeros,
+        ones,
+        (
+            (2.0 / ow, 0.0, 1.0 / ow - 1.0),
+            (0.0, 2.0 / oh, 1.0 / oh - 1.0),
+            c0,
+            c1,
         ),
-        GType("float", (4,)),
     )
-    vertex_coord = V(
-        np.stack(
-            [ugrid * 2.0 - 1.0, vgrid * 2.0 - 1.0, np.zeros_like(ugrid), np.ones_like(ugrid)],
-            axis=-1,
-        ),
-        GType("float", (4,)),
-    )
-    color_attr = V(np.ones((oh, ow, 4), np.float32), GType("float", (4,)))
+    color_attr = V(np.ones(4, np.float32), GType("float", (4,)))
 
     v_inputs = {
         "TexCoord": tex_coord,
@@ -473,12 +491,12 @@ def _run_pass(cp, ctx: PassContext, sh: PassShapes):
     for name in cp.vertex_eval.varying_names:
         if name in v_globals:
             f_inputs[name] = v_globals[name]
-    frag_coord = V(
-        np.stack(
-            [ugrid * ow, vgrid * oh, np.zeros_like(ugrid), np.ones_like(ugrid)],
-            axis=-1,
-        ),
-        GType("float", (4,)),
+    frag_coord = vec4(
+        xg + 0.5,
+        yg + 0.5,
+        zeros,
+        ones,
+        ((1.0, 0.0, 0.5), (0.0, 1.0, 0.5), c0, c1),
     )
     f_inputs["gl_FragCoord"] = frag_coord
 
