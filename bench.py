@@ -30,7 +30,10 @@ CONFIGS = [
     # (name, preset path, source (h, w), batch)
     ("scanline-320", SHADERS / "interpolation/sharp-bilinear-scanlines.glslp", (240, 320), 32),
     ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 8),
-    ("crt-mattias-1080p", SHADERS / "crt/crt-mattias.glslp", (1080, 1920), 4),
+    # 240p source (the CRT-shader operating point: the app feeds CRT
+    # chains a logical-resolution downscale, FrameCapturePipeline.cpp:142)
+    # rendered at a 1080p viewport.
+    ("crt-mattias-1080p", SHADERS / "crt/crt-mattias.glslp", (240, 320), 8),
     ("ntsc-320px", SHADERS / "ntsc/ntsc-320px.glslp", (240, 320), 16),
     ("feedback-ghost-yuyv", REPO / "assets/presets/feedback-ghost.glslp", (240, 320), 16),
 ]

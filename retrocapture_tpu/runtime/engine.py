@@ -272,9 +272,18 @@ class Engine:
         params.update(self._custom_params)
         temporal = prog.uses_history() or prog.uses_feedback()
 
-        def single(src, history, feedback, frame_count, time):
+        def single(src, history, feedback, frame_count, time, blit=True):
             return _run_chain(
-                prog, shapes, (vw, vh), src, history, feedback, frame_count, time, params
+                prog,
+                shapes,
+                (vw, vh),
+                src,
+                history,
+                feedback,
+                frame_count,
+                time,
+                params,
+                blit=blit,
             )
 
         if temporal:
@@ -282,12 +291,19 @@ class Engine:
             def batch_fn(src_b, state: _ChainState):
                 def step(carry, src):
                     hist, fb, fc, tm = carry
-                    out, hist, fb = single(src, hist, fb, fc, tm)
+                    # Viewport blit is stateless — hoisted out of the scan
+                    # so it runs batched on the MXU instead of per frame.
+                    out, hist, fb = single(src, hist, fb, fc, tm, blit=False)
                     return (hist, fb, fc + 1, tm + jnp.float32(0.016)), out
 
                 carry0 = (state.history, state.feedback, state.frame_count, state.time)
                 carry, outs = jax.lax.scan(step, carry0, src_b)
                 hist, fb, fc, tm = carry
+                if outs.shape[1] != vh or outs.shape[2] != vw:
+                    u, v = _grids(vw, vh)
+                    outs = jax.vmap(
+                        lambda t: sample2d(t, u, v, filter_linear=True)
+                    )(outs)
                 return outs, _ChainState(hist, fb, fc, tm)
 
         else:
@@ -352,6 +368,7 @@ def _run_chain(
     frame_count,
     time,
     params: dict[str, float],
+    blit: bool = True,
 ):
     """Execute every pass of a compiled preset for one frame. FrameCount
     increments once per frame, not per pass (ShaderEngine.cpp:1685-1689);
@@ -433,7 +450,7 @@ def _run_chain(
     # Final window blit (OpenGLRenderer::renderTexture): stretch the last
     # pass output to the viewport with the FBO texture's LINEAR filter.
     vw, vh = viewport
-    if final.shape[0] != vh or final.shape[1] != vw:
+    if blit and (final.shape[0] != vh or final.shape[1] != vw):
         u, v = _grids(vw, vh)
         final = sample2d(final, u, v, filter_linear=True)
 
