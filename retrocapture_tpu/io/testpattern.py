@@ -59,6 +59,9 @@ class TestPatternSource:
         h, w = self.height, self.width
         x = self.frame_index % w
         band_h = max(h // 10, 1)
+        # Dark band under the bars so the white marker is visible on every
+        # bar (including the white one).
+        frame[h - band_h :, :] = 32
         frame[h - band_h :, x : min(x + max(w // 100, 2), w)] = 255
         self.frame_index += 1
         return frame
