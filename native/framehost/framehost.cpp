@@ -182,8 +182,8 @@ RC_API void rc_testpattern_fill(uint8_t *buf, uint32_t w, uint32_t h,
     // moving marker band on a dark strip (temporal-aliveness signal,
     // visible over every bar including the white one)
     const uint32_t band_h = std::max(h / 10, 1u);
-    const uint32_t mx = uint32_t(frame_index % w);
     const uint32_t mw = std::max(w / 100, 2u);
+    const uint32_t mx = uint32_t((frame_index * mw) % w);
     for (uint32_t y = h - band_h; y < h; ++y) {
         uint8_t *row = buf + size_t(y) * w * 3;
         for (uint32_t x = 0; x < w; ++x) {

@@ -57,7 +57,8 @@ class TestPatternSource:
         one column per frame (the temporal-aliveness signal)."""
         frame = self._base.copy()
         h, w = self.height, self.width
-        x = self.frame_index % w
+        mw = max(w // 100, 2)
+        x = (self.frame_index * mw) % w  # advance a marker-width per frame
         band_h = max(h // 10, 1)
         # Dark band under the bars so the white marker is visible on every
         # bar (including the white one).
