@@ -341,6 +341,20 @@ class ShaderEval:
             return v.astype(t.base)
         if v.type.is_scalar and t.shape:
             return v.astype(t.base).expand_to(t.shape)
+        if (
+            v.type.is_vector
+            and t.is_vector
+            and v.type.shape[0] > t.shape[0]
+        ):
+            # `vec3 x = texture(...)` — GL rejects this; the reference
+            # auto-repairs by source rewriting (ShaderEngine.cpp:450-680).
+            # We repair by truncating components.
+            n = t.shape[0]
+            return V(
+                v.data[..., :n],
+                GType(t.base, (n,)),
+                affine=v.affine[:n] if v.affine else None,
+            ).astype(t.base)
         return v
 
     def _coerce_decl(self, ts: A.TypeSpec, d: A.Declarator, val):
@@ -720,6 +734,12 @@ class ShaderEval:
                 val = val.astype(cur.type.base)
             elif val.type.is_scalar and cur.type.shape:
                 val = self._convert_scalar(val, cur.type)
+            elif (
+                val.type.is_vector
+                and cur.type.is_vector
+                and val.type.shape[0] > cur.type.shape[0]
+            ):
+                val = self._convert_scalar(val, cur.type)
         self._assign_lvalue(e.target, val)
         return val
 
@@ -994,6 +1014,13 @@ class ShaderEval:
         ret = frame.ret_val
         if ret is None and fn.return_type.name != "void":
             raise UnsupportedShaderError(f"function {name} missing return")
+        # Coerce to the declared return type (drivers tolerate e.g. a
+        # vec3 function returning texture(...).rgb-less vec4; the
+        # reference repairs such shaders by rewriting, ShaderEngine.cpp:450).
+        if isinstance(ret, V):
+            want = TYPE_NAMES.get(fn.return_type.name)
+            if want is not None and want.shape != ret.type.shape:
+                ret = self._convert_scalar(ret, want)
         return ret
 
     # -- textures -------------------------------------------------------

@@ -377,4 +377,21 @@ def align_pair(a: V, b: V) -> tuple[V, V, GType]:
         return a.expand_to(b.type.shape), b, b.type
     if b.type.is_scalar:
         return a, b.expand_to(a.type.shape), a.type
+    if a.type.is_vector and b.type.is_vector:
+        # Strict GLSL rejects vecN op vecM; real drivers (and therefore
+        # corpus shaders, e.g. crt-royale helpers) tolerate it by
+        # truncating the wider operand. Match the lenient behavior.
+        n = min(a.type.shape[0], b.type.shape[0])
+
+        def trunc(v: V) -> V:
+            if v.type.shape[0] == n:
+                return v
+            return V(
+                v.data[..., :n],
+                GType(v.type.base, (n,)),
+                affine=v.affine[:n] if v.affine else None,
+            )
+
+        a, b = trunc(a), trunc(b)
+        return a, b, a.type
     raise GlslEvalError(f"shape mismatch {a.type} vs {b.type}")

@@ -2,7 +2,9 @@
 
 Mirrors the reference's resilience contract (compile failure degrades to
 passthrough, ShaderEngine.cpp:294-314) but here we want the raw error so
-we can close frontend gaps. Run:
+we can close frontend gaps. Each preset runs in a worker process with a
+timeout (some chains take minutes to XLA-compile on CPU); on timeout the
+worker is killed and restarted. Run:
 
     python tools/corpus_check.py [--limit N] [--filter SUBSTR] [--out report.json]
 """
@@ -11,51 +13,36 @@ from __future__ import annotations
 
 import argparse
 import json
+import multiprocessing as mp
 import sys
 import time
 import traceback
 from collections import Counter
 from pathlib import Path
 
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-
-import numpy as np
-
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-from retrocapture_tpu.runtime.engine import Engine
 
 SHADERS = Path("/root/reference/shaders/shaders_glsl")
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--limit", type=int, default=0)
-    ap.add_argument("--filter", default="")
-    ap.add_argument("--out", default="corpus_report.json")
-    ap.add_argument("--size", default="48x64", help="HxW of the test frame")
-    args = ap.parse_args()
+def _worker(task_q, result_q, size):
+    import jax
 
-    h, w = (int(x) for x in args.size.split("x"))
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from retrocapture_tpu.runtime.engine import Engine
+
+    h, w = size
     frame = (np.random.default_rng(0).random((h, w, 3)) * 255).astype(np.uint8)
-
-    presets = sorted(SHADERS.rglob("*.glslp"))
-    if args.filter:
-        presets = [p for p in presets if args.filter in str(p)]
-    if args.limit:
-        presets = presets[: args.limit]
-
-    results = []
-    counts = Counter()
-    t_start = time.time()
-    for i, path in enumerate(presets):
-        rel = str(path.relative_to(SHADERS))
-        e = Engine(viewport=(2 * w, 2 * h))
-        rec = {"preset": rel}
+    while True:
+        path = task_q.get()
+        if path is None:
+            return
+        rec = {"preset": path}
         try:
-            ok = e.load_preset(str(path))
+            e = Engine(viewport=(2 * w, 2 * h))
+            ok = e.load_preset(str(SHADERS / path))
             if not ok:
                 rec["status"] = "load_fail"
                 rec["error"] = e.last_error
@@ -72,13 +59,61 @@ def main() -> int:
             rec["status"] = "apply_fail"
             rec["error"] = f"{type(ex).__name__}: {ex}"
             rec["trace"] = traceback.format_exc(limit=5)
+        result_q.put(rec)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--filter", default="")
+    ap.add_argument("--out", default="corpus_report.json")
+    ap.add_argument("--size", default="48x64", help="HxW of the test frame")
+    ap.add_argument("--timeout", type=float, default=240.0, help="seconds per preset")
+    args = ap.parse_args()
+
+    h, w = (int(x) for x in args.size.split("x"))
+
+    presets = sorted(SHADERS.rglob("*.glslp"))
+    if args.filter:
+        presets = [p for p in presets if args.filter in str(p)]
+    if args.limit:
+        presets = presets[: args.limit]
+    rels = [str(p.relative_to(SHADERS)) for p in presets]
+
+    ctx = mp.get_context("spawn")
+    task_q = result_q = proc = None
+
+    def start_worker():
+        nonlocal task_q, result_q, proc
+        task_q = ctx.Queue()
+        result_q = ctx.Queue()
+        proc = ctx.Process(target=_worker, args=(task_q, result_q, (h, w)), daemon=True)
+        proc.start()
+
+    start_worker()
+    results = []
+    counts = Counter()
+    t_start = time.time()
+    for i, rel in enumerate(rels):
+        task_q.put(rel)
+        try:
+            rec = result_q.get(timeout=args.timeout)
+        except Exception:  # queue.Empty
+            proc.kill()
+            proc.join()
+            rec = {"preset": rel, "status": "timeout"}
+            start_worker()
         counts[rec["status"]] += 1
         results.append(rec)
         if (i + 1) % 25 == 0:
             print(
-                f"[{i+1}/{len(presets)}] {dict(counts)} ({time.time()-t_start:.0f}s)",
+                f"[{i+1}/{len(rels)}] {dict(counts)} ({time.time()-t_start:.0f}s)",
                 flush=True,
             )
+    task_q.put(None)
+    proc.join(timeout=5)
+    if proc.is_alive():
+        proc.kill()
 
     print(f"DONE {dict(counts)} in {time.time()-t_start:.0f}s")
     Path(args.out).write_text(json.dumps(results, indent=1))
