@@ -1025,7 +1025,11 @@ class ShaderEval:
 
     # -- textures -------------------------------------------------------
     def _eval_texture(self, name: str, raw_args: list[A.Expr]):
-        from retrocapture_tpu.ops.sampling import sample2d, sample2d_affine
+        from retrocapture_tpu.ops.sampling import (
+            sample2d,
+            sample2d_affine,
+            sample2d_affine_mip,
+        )
 
         args = [self.eval(a) for a in raw_args]
         sampler = args[0]
@@ -1079,7 +1083,8 @@ class ShaderEval:
             ow, oh = self.ctx.out_size
             bs = uv.batch_shape
             if bs == (oh, ow):
-                out = sample2d_affine(
+                fn = sample2d_affine_mip if sampler.mipmap else sample2d_affine
+                out = fn(
                     jnp.asarray(sampler.tex),
                     aff[0],
                     aff[1],

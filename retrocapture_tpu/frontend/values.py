@@ -185,14 +185,17 @@ class SamplerVal:
     """A bound sampler2D: texture data + sampling state, resolved by the
     pass binding model (graph/plan.py)."""
 
-    __slots__ = ("name", "tex", "filter_linear", "wrap_mode", "size")
+    __slots__ = ("name", "tex", "filter_linear", "wrap_mode", "size", "mipmap")
 
-    def __init__(self, name: str, tex, filter_linear: bool, wrap_mode: str):
+    def __init__(
+        self, name: str, tex, filter_linear: bool, wrap_mode: str, mipmap: bool = False
+    ):
         self.name = name
         self.tex = tex  # [H, W, C] float32
         self.filter_linear = filter_linear
         self.wrap_mode = wrap_mode
         self.size = (tex.shape[1], tex.shape[0])  # (W, H)
+        self.mipmap = mipmap
 
 
 class ArrayVal:

@@ -207,9 +207,12 @@ class TexBinding:
     tex: Any  # [H, W, 4] array
     filter_linear: bool
     wrap_mode: str
+    mipmap: bool = False
 
     def sampler(self, name: str) -> SamplerVal:
-        return SamplerVal(name, self.tex, self.filter_linear, self.wrap_mode)
+        return SamplerVal(
+            name, self.tex, self.filter_linear, self.wrap_mode, self.mipmap
+        )
 
 
 def _vec(vals, base="float") -> V:
@@ -281,7 +284,9 @@ class PassContext:
             lut = prog.luts[name]
             import jax.numpy as jnp
 
-            return TexBinding(jnp.asarray(lut.data), lut.linear, lut.wrap_mode)
+            return TexBinding(
+                jnp.asarray(lut.data), lut.linear, lut.wrap_mode, lut.mipmap
+            )
         if name in self._alias_to_pass:
             j = self._alias_to_pass[name]
             if j < i:

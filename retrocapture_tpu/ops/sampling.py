@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["sample2d", "sample2d_affine", "WRAP_MODES"]
+__all__ = ["sample2d", "sample2d_affine", "sample2d_affine_mip", "WRAP_MODES"]
 
 WRAP_MODES = ("clamp_to_edge", "clamp_to_border", "repeat", "mirrored_repeat")
 
@@ -122,6 +122,63 @@ def _separable_rows(u: np.ndarray, v: np.ndarray):
     if not np.all(v == v[:, :1]):
         return None
     return u[0, :], v[:, 0]
+
+
+def _box_downsample(tex: jax.Array) -> jax.Array:
+    """One mip level down: 2x2 box average (glGenerateMipmap's filter),
+    truncating odd trailing rows/cols like GL's floor(n/2) level sizing."""
+    h, w, _ = tex.shape
+    h2, w2 = max(h // 2, 1), max(w // 2, 1)
+    t = tex[: h2 * 2, : w2 * 2]
+    if h >= 2:
+        t = (t[0::2] + t[1::2]) * 0.5
+    if w >= 2:
+        t = (t[:, 0::2] + t[:, 1::2]) * 0.5
+    return t
+
+
+def sample2d_affine_mip(
+    tex: jax.Array,
+    u_aff: tuple,
+    v_aff: tuple,
+    oh: int,
+    ow: int,
+    *,
+    filter_linear: bool,
+    wrap_mode: str = "clamp_to_edge",
+) -> jax.Array:
+    """GL_LINEAR_MIPMAP_LINEAR sampling for an affine output grid: the
+    texel footprint (and therefore the LOD) is a trace-time constant, so
+    trilinear filtering lowers to at most two separable-matmul samples of
+    box-pyramid levels blended by the LOD fraction — this is how
+    ``mipmap_input#`` passes (e.g. crt-hyllian-glow's 0.25x glow blur)
+    stay on the MXU."""
+    h, w, _ = tex.shape
+    # rho: max texels stepped per output pixel (GL LOD rule).
+    rho = max(abs(u_aff[0]) * w, abs(v_aff[1]) * h, 1e-12)
+    lod = float(np.log2(rho))
+    if lod <= 0.0 or not filter_linear:
+        return sample2d_affine(
+            tex, u_aff, v_aff, oh, ow, filter_linear=filter_linear, wrap_mode=wrap_mode
+        )
+    max_lod = int(np.floor(np.log2(max(min(h, w), 1))))
+    l0 = min(int(np.floor(lod)), max_lod)
+    l1 = min(l0 + 1, max_lod)
+    frac = min(max(lod - l0, 0.0), 1.0) if l1 > l0 else 0.0
+    level = tex
+    levels = [tex]
+    for _ in range(l1):
+        level = _box_downsample(level)
+        levels.append(level)
+    s0 = sample2d_affine(
+        levels[l0], u_aff, v_aff, oh, ow, filter_linear=True, wrap_mode=wrap_mode
+    )
+    if frac == 0.0:
+        return s0
+    s1 = sample2d_affine(
+        levels[l1], u_aff, v_aff, oh, ow, filter_linear=True, wrap_mode=wrap_mode
+    )
+    return s0 + (s1 - s0) * jnp.float32(frac)
 
 
 def sample2d_affine(

@@ -378,17 +378,20 @@ def _run_chain(
     src_h, src_w = source.shape[0], source.shape[1]
     preset = prog.preset
 
-    def filter_of_output(j: int) -> tuple[bool, str]:
+    def filter_of_output(j: int) -> tuple[bool, str, bool]:
         # Output of pass j carries the texture state last applied by the
         # pass that consumed it as input (j+1); the final pass's output
         # keeps the FBO defaults LINEAR/clamp (createFramebuffer).
         if j + 1 < n:
             cfg = preset.passes[j + 1]
-            return cfg.filter_linear, cfg.wrap_mode
-        return True, "clamp_to_edge"
+            return cfg.filter_linear, cfg.wrap_mode, cfg.mipmap_input
+        return True, "clamp_to_edge", False
 
     original_binding = TexBinding(
-        source, preset.passes[0].filter_linear, preset.passes[0].wrap_mode
+        source,
+        preset.passes[0].filter_linear,
+        preset.passes[0].wrap_mode,
+        preset.passes[0].mipmap_input,
     )
     history_bindings = [TexBinding(t, True, "clamp_to_edge") for t in history]
 
@@ -398,7 +401,9 @@ def _run_chain(
     for i, cp in enumerate(prog.passes):
         cfg = preset.passes[i]
         sh = shapes[i]
-        input_binding = TexBinding(current, cfg.filter_linear, cfg.wrap_mode)
+        input_binding = TexBinding(
+            current, cfg.filter_linear, cfg.wrap_mode, cfg.mipmap_input
+        )
         fb_bindings = {
             j: TexBinding(t, *filter_of_output(j)) for j, t in feedback.items()
         }
