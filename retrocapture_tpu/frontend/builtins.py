@@ -385,10 +385,29 @@ def _b_max(a: V, b: V) -> V:
 
 
 def _b_pow(a: V, b: V) -> V:
-    # GLSL pow is undefined for x<0; GL drivers commonly return pow(|x|,y)
-    # or NaN. Emulate the common driver behavior |x|^y to avoid NaNs that
-    # the GL goldens don't show.
-    return _cw(lambda xp, x, y: xp.power(xp.abs(x), y), a, b, result_base="float")
+    # Mesa/GL semantics (verified against llvmpipe): constant integer
+    # exponents lower to repeated multiplication (sign preserved, exact);
+    # everything else is exp2(y*log2(x)) — NaN for x<0, which UNORM
+    # framebuffer stores flush to 0 (ops/colorspace.quantize_rgba8).
+    if is_concrete(b.data) and b.batch_shape == ():
+        yv = np.asarray(b.data, np.float64).reshape(-1)
+        if yv.size and np.all(yv == yv[0]) and float(yv[0]) == int(yv[0]):
+            n = int(yv[0])
+            if 1 <= abs(n) <= 8:
+
+                def ipow(xp, x):
+                    r = x
+                    for _ in range(abs(n) - 1):
+                        r = r * x
+                    return r if n > 0 else 1.0 / r
+
+                return _cw(ipow, a, result_base="float")
+
+    def fn(xp, x, y):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return xp.exp2(y * xp.log2(x))
+
+    return _cw(fn, a, b, result_base="float")
 
 
 def _b_exp(a):

@@ -41,7 +41,9 @@ def srgb_decode(x):
 
 
 def quantize_rgba8(x):
-    """Clamp to [0,1] and quantize to 8-bit levels (RGBA8 FBO round trip)."""
+    """Clamp to [0,1] and quantize to 8-bit levels (RGBA8 FBO round
+    trip). NaN flushes to 0 like a GL UNORM store."""
+    x = jnp.where(jnp.isnan(x), 0.0, x)
     return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) * (1.0 / 255.0)
 
 

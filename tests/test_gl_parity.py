@@ -98,12 +98,12 @@ def test_crt_mattias_with_noise_documented_floor(frame):
 
 def test_ntsc_two_pass_temporal(frame):
     p = run_pair(SH + "ntsc/ntsc-320px.glslp", frame, n_frames=3)
-    assert p >= 40.0, p
+    assert p >= 50.0, p
 
 
 def test_hyllian_glow_chain(frame):
     p = run_pair(SH + "crt/crt-hyllian-glow.glslp", frame)
-    assert p >= 40.0, p
+    assert p >= 50.0, p
 
 
 def test_parameter_override_parity(frame):
