@@ -183,6 +183,8 @@ class Engine:
         [vh,vw,3] or [B,vh,vw,3]. Batches of temporal presets run as a
         sequential scan; stateless presets vmap."""
         arr = jnp.asarray(frames)
+        if arr.ndim == 5:
+            return self.apply_streams(arr)
         batched = arr.ndim == 4
         if not batched:
             arr = arr[None]
@@ -206,6 +208,61 @@ class Engine:
         self._states[key] = new_state
         out = out[..., :3]
         return out if batched else out[0]
+
+    def apply_streams(self, frames) -> jax.Array:
+        """Process S independent streams of T frames each:
+        ``[S, T, H, W, 3|4]`` → ``[S, T, vh, vw, 3]``. Temporal state is
+        kept per stream (vmap over streams, lax.scan over time) — the
+        scaling path for PassFeedback/history presets, whose frames are
+        strictly sequential within one stream but embarrassingly parallel
+        across streams (and across the 'data' mesh axis)."""
+        arr = jnp.asarray(frames)
+        assert arr.ndim == 5, "apply_streams expects [S, T, H, W, C]"
+        s, t, h, w = arr.shape[0], arr.shape[1], arr.shape[2], arr.shape[3]
+        src = self._to_rgba_float(arr)
+        vw, vh = self._viewport or (w, h)
+        if self._program is None:
+            flat = src.reshape((s * t,) + src.shape[2:])
+            out = self._passthrough(flat, vw, vh)[..., :3]
+            return out.reshape((s, t) + out.shape[1:])
+
+        key = (h, w, vw, vh, s)
+        state = self._states.get(key)
+        if state is None:
+            proto = self._get_state((h, w, vw, vh), jnp.float32)
+            state = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (s,) + jnp.shape(x)), proto
+            )
+            self._states[key] = state
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            inner = self._get_jit((h, w, vw, vh))
+
+            def multi(src_st, st):
+                return jax.vmap(inner)(src_st, st)
+
+            if self._mesh is not None:
+                # Streams shard over 'data'; per-stream temporal state
+                # shards with them (leading axis is the stream axis).
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from retrocapture_tpu.parallel.mesh import DATA_AXIS
+
+                def sh(rank):
+                    return NamedSharding(
+                        self._mesh, P(DATA_AXIS, *([None] * (rank - 1)))
+                    )
+
+                src_sh = sh(5)
+                state_sh = jax.tree.map(lambda x: sh(max(jnp.ndim(x), 1)), state)
+                out_sh = (sh(5), state_sh)
+                fn = jax.jit(multi, in_shardings=(src_sh, state_sh), out_shardings=out_sh)
+            else:
+                fn = jax.jit(multi)
+            self._jit_cache[key] = fn
+        out, new_state = fn(src, state)
+        self._states[key] = new_state
+        return out[..., :3]
 
     # convenience mirrors of the reference's RGBA8 output
     def apply_u8(self, frames) -> np.ndarray:

@@ -203,3 +203,41 @@ def test_ntsc_two_pass_temporal():
     assert np.isfinite(out1).all() and np.isfinite(out2).all()
     # frame_count_mod0 = 2: phase alternates between consecutive frames.
     assert np.abs(out1 - out2).max() > 1e-4
+
+
+def test_multi_stream_temporal_matches_sequential():
+    """[S,T,H,W,C] streams: vmap over streams, scan over time."""
+    import pathlib
+
+    preset = pathlib.Path(__file__).resolve().parents[1] / "assets/presets/feedback-ghost.glslp"
+    white = np.full((48, 64, 3), 255, np.uint8)
+    seq = Engine(viewport=(64, 48))
+    assert seq.load_preset(str(preset))
+    ref = np.asarray(seq.apply(np.stack([white] * 4)))
+    st = Engine(viewport=(64, 48))
+    assert st.load_preset(str(preset))
+    outs = np.asarray(st.apply(np.stack([np.stack([white] * 4)] * 3)))
+    assert outs.shape == (3, 4, 48, 64, 3)
+    for si in range(3):
+        np.testing.assert_allclose(outs[si], ref, atol=1e-6)
+
+
+def test_multi_stream_mesh_sharded():
+    import jax
+
+    from retrocapture_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import pathlib
+
+    preset = pathlib.Path(__file__).resolve().parents[1] / "assets/presets/feedback-ghost.glslp"
+    white = np.full((48, 64, 3), 255, np.uint8)
+    mesh = make_mesh(8, 1)
+    e = Engine(viewport=(64, 48), mesh=mesh)
+    assert e.load_preset(str(preset))
+    outs = np.asarray(e.apply(np.stack([np.stack([white] * 4)] * 8)))
+    seq = Engine(viewport=(64, 48))
+    assert seq.load_preset(str(preset))
+    ref = np.asarray(seq.apply(np.stack([white] * 4)))
+    np.testing.assert_allclose(outs[5], ref, atol=1e-6)
