@@ -356,6 +356,7 @@ class Engine:
                 carry0 = (state.history, state.feedback, state.frame_count, state.time)
                 carry, outs = jax.lax.scan(step, carry0, src_b)
                 hist, fb, fc, tm = carry
+                outs = outs[..., :3]
                 if outs.shape[1] != vh or outs.shape[2] != vw:
                     u, v = _grids(vw, vh)
                     outs = jax.vmap(
@@ -511,6 +512,9 @@ def _run_chain(
 
     # Final window blit (OpenGLRenderer::renderTexture): stretch the last
     # pass output to the viewport with the FBO texture's LINEAR filter.
+    # Alpha is dropped first — the consumer only sees RGB, and the blit is
+    # the bandwidth-dominant tensor of the whole chain at 1080p.
+    final = final[..., :3]
     vw, vh = viewport
     if blit and (final.shape[0] != vh or final.shape[1] != vw):
         u, v = _grids(vw, vh)
