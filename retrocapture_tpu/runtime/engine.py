@@ -189,24 +189,25 @@ class Engine:
         if not batched:
             arr = arr[None]
         b, h, w = arr.shape[0], arr.shape[1], arr.shape[2]
-        src = self._to_rgba_float(arr)
         vw, vh = self._viewport or (w, h)
 
         if self._program is None:
+            src = self._to_rgba_float(arr)
             out = self._passthrough(src, vw, vh)[..., :3]
             return out if batched else out[0]
 
+        # Input normalization (u8→float, RGB→RGBA) happens INSIDE the jit
+        # — eager ops per call are expensive on remote backends.
         key = (h, w, vw, vh)
-        state = self._get_state(key, src.dtype)
+        state = self._get_state(key, jnp.float32)
         fn = self._get_jit(key)
         temporal = self._program.uses_history() or self._program.uses_feedback()
         if self._mesh is not None and not temporal:
             from retrocapture_tpu.parallel.mesh import shard_frames
 
-            src = shard_frames(src, self._mesh, spatial=self._spatial)
-        out, new_state = fn(src, state)
+            arr = shard_frames(arr, self._mesh, spatial=self._spatial)
+        out, new_state = fn(arr, state)
         self._states[key] = new_state
-        out = out[..., :3]
         return out if batched else out[0]
 
     def apply_streams(self, frames) -> jax.Array:
@@ -219,12 +220,13 @@ class Engine:
         arr = jnp.asarray(frames)
         assert arr.ndim == 5, "apply_streams expects [S, T, H, W, C]"
         s, t, h, w = arr.shape[0], arr.shape[1], arr.shape[2], arr.shape[3]
-        src = self._to_rgba_float(arr)
         vw, vh = self._viewport or (w, h)
         if self._program is None:
+            src = self._to_rgba_float(arr)
             flat = src.reshape((s * t,) + src.shape[2:])
             out = self._passthrough(flat, vw, vh)[..., :3]
             return out.reshape((s, t) + out.shape[1:])
+        src = arr  # normalization happens inside the inner jit
 
         key = (h, w, vw, vh, s)
         state = self._states.get(key)
@@ -264,10 +266,12 @@ class Engine:
         self._states[key] = new_state
         return out[..., :3]
 
-    # convenience mirrors of the reference's RGBA8 output
+    # convenience mirrors of the reference's RGB24 readback output
     def apply_u8(self, frames) -> np.ndarray:
+        """Like apply() but quantizes to uint8 ON DEVICE, so the host
+        transfer moves 1/4 of the bytes (the PBO-readback analog)."""
         out = self.apply(frames)
-        return np.asarray(jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8))
+        return np.asarray(_quantize_u8(out))
 
     # -- internals ------------------------------------------------------
     @staticmethod
@@ -345,7 +349,9 @@ class Engine:
 
         if temporal:
 
-            def batch_fn(src_b, state: _ChainState):
+            def batch_fn(raw_b, state: _ChainState):
+                src_b = Engine._to_rgba_float(raw_b)
+
                 def step(carry, src):
                     hist, fb, fc, tm = carry
                     # Viewport blit is stateless — hoisted out of the scan
@@ -366,7 +372,9 @@ class Engine:
 
         else:
 
-            def batch_fn(src_b, state: _ChainState):
+            def batch_fn(raw_b, state: _ChainState):
+                src_b = Engine._to_rgba_float(raw_b)
+
                 def one(src):
                     out, _, _ = single(
                         src, state.history, state.feedback, state.frame_count, state.time
@@ -402,6 +410,11 @@ class Engine:
     def _state_proto(self, key):
         """A structural skeleton of the chain state for sharding trees."""
         return self._get_state(key, jnp.float32)
+
+
+@jax.jit
+def _quantize_u8(x):
+    return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
 # jax.tree registration for _ChainState
