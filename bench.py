@@ -54,28 +54,39 @@ def bench_config(name, preset, shape, batch, *, iters=8, warmup=2):
     if not e.load_preset(str(preset)):
         return {"name": name, "error": e.last_error}
 
+    # Every call gets genuinely different input (xor with a changing
+    # scalar, computed on device): the backend can cache identical
+    # dispatches, which would fake the numbers.
+    counter = [0]
     fused_yuyv = name.endswith("yuyv")
     if fused_yuyv:
-        raw = jnp.asarray(
-            (rng.random((batch, h, w * 2)) * 255).astype(np.uint8)
-        )
+        raw = jnp.asarray((rng.random((batch, h, w * 2)) * 255).astype(np.uint8))
+        vary = jax.jit(lambda r, k: yuyv_to_rgb(r ^ k, w, h))
 
         def produce():
-            return yuyv_to_rgb(raw, w, h)
+            counter[0] += 1
+            return vary(raw, jnp.uint8(counter[0] % 251))
 
     else:
         frames = jnp.asarray((rng.random((batch, h, w, 3)) * 255).astype(np.uint8))
+        vary = jax.jit(lambda f, k: f ^ k)
 
         def produce():
-            return frames
+            counter[0] += 1
+            return vary(frames, jnp.uint8(counter[0] % 251))
 
-    # Warmup (compile)
+    # On this backend block_until_ready can return before execution
+    # completes; a scalar host readback is the only honest sync. Engine
+    # state chains one call into the next, so syncing the last output of
+    # a window syncs the whole window.
+    sync = jax.jit(lambda x: jnp.sum(x))
+
     t_compile = time.time()
     out = e.apply(produce())
-    out.block_until_ready()
+    float(sync(out))
     t_compile = time.time() - t_compile
     for _ in range(warmup - 1):
-        e.apply(produce()).block_until_ready()
+        float(sync(e.apply(produce())))
 
     # Best-of-3 timing windows: host-side noise (other processes, tunnel
     # hiccups) only ever slows a window down, so max(fps) is the honest
@@ -87,7 +98,7 @@ def bench_config(name, preset, shape, batch, *, iters=8, warmup=2):
         for _ in range(iters):
             out = e.apply(produce())
             n += batch
-        out.block_until_ready()
+        float(sync(out))
         dt = time.time() - t0
         best_fps = max(best_fps, n / dt)
     return {
