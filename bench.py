@@ -27,15 +27,16 @@ SHADERS = Path("/root/reference/shaders/shaders_glsl")
 TARGET_FPS = 5000.0
 
 CONFIGS = [
-    # (name, preset path, source (h, w), batch)
-    ("scanline-320", SHADERS / "interpolation/sharp-bilinear-scanlines.glslp", (240, 320), 32),
-    ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 8),
+    # (name, preset path, source (h, w), batch) — batches sized to
+    # amortize per-dispatch latency; throughput is the metric.
+    ("scanline-320", SHADERS / "interpolation/sharp-bilinear-scanlines.glslp", (240, 320), 64),
+    ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 32),
     # 240p source (the CRT-shader operating point: the app feeds CRT
     # chains a logical-resolution downscale, FrameCapturePipeline.cpp:142)
     # rendered at a 1080p viewport.
-    ("crt-mattias-1080p", SHADERS / "crt/crt-mattias.glslp", (240, 320), 8),
-    ("ntsc-320px", SHADERS / "ntsc/ntsc-320px.glslp", (240, 320), 16),
-    ("feedback-ghost-yuyv", REPO / "assets/presets/feedback-ghost.glslp", (240, 320), 16),
+    ("crt-mattias-1080p", SHADERS / "crt/crt-mattias.glslp", (240, 320), 16),
+    ("ntsc-320px", SHADERS / "ntsc/ntsc-320px.glslp", (240, 320), 32),
+    ("feedback-ghost-yuyv", REPO / "assets/presets/feedback-ghost.glslp", (240, 320), 32),
 ]
 
 VIEWPORT = (1920, 1080)  # (W, H)

@@ -93,6 +93,7 @@ class Engine:
         self._states: dict = {}
         self._mesh = mesh  # jax.sharding.Mesh: batch over 'data' axis
         self._spatial = spatial  # additionally shard W over 'space'
+        self._max_resolution: Optional[tuple[int, int]] = None
         self.shader_active = False
         self.last_error: Optional[str] = None
 
@@ -172,6 +173,15 @@ class Engine:
     def set_viewport(self, width: int, height: int) -> None:
         self._viewport = (int(width), int(height))
         self._jit_cache.clear()
+
+    def set_max_shader_resolution(self, width: int, height: int) -> None:
+        """Clamp the chain's source resolution: larger inputs are
+        downscaled (bilinear) before the first pass — the low-power-device
+        path (ShaderEngine::setMaxShaderResolution, ShaderEngine.cpp:50-63,
+        applied at :1621-1657). 0 disables."""
+        self._max_resolution = (int(width), int(height))
+        self._jit_cache.clear()
+        self._states.clear()
 
     def reset_state(self) -> None:
         self._states.clear()
@@ -301,7 +311,8 @@ class Engine:
             return st
         h, w, vw, vh = key
         prog = self._program
-        shapes = compute_chain_shapes(prog.preset, w, h, vw, vh)
+        pw, ph = self._clamped_source(w, h)
+        shapes = compute_chain_shapes(prog.preset, pw, ph, vw, vh)
         history = ()
         if prog.uses_history():
             last = shapes[-1]
@@ -322,13 +333,32 @@ class Engine:
         self._states[key] = st
         return st
 
+    def _clamped_source(self, w: int, h: int) -> tuple[int, int]:
+        """Max-resolution clamp preserving aspect, even dims
+        (ShaderEngine.cpp:1621-1657)."""
+        if self._max_resolution is None:
+            return w, h
+        mw, mh = self._max_resolution
+        if mw <= 0 or mh <= 0 or (w <= mw and h <= mh):
+            return w, h
+        aspect = w / h
+        pw, ph = w, h
+        if pw > mw:
+            pw = mw
+            ph = int(round(mw / aspect))
+        if ph > mh:
+            ph = mh
+            pw = int(round(mh * aspect))
+        return max((pw // 2) * 2, 2), max((ph // 2) * 2, 2)
+
     def _get_jit(self, key):
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
         h, w, vw, vh = key
         prog = self._program
-        shapes = compute_chain_shapes(prog.preset, w, h, vw, vh)
+        pw, ph = self._clamped_source(w, h)
+        shapes = compute_chain_shapes(prog.preset, pw, ph, vw, vh)
         params = dict(prog.defaults)
         params.update(self._custom_params)
         temporal = prog.uses_history() or prog.uses_feedback()
@@ -347,10 +377,19 @@ class Engine:
                 blit=blit,
             )
 
+        def normalize(raw_b):
+            src_b = Engine._to_rgba_float(raw_b)
+            if (pw, ph) != (w, h):
+                u, v = _grids(pw, ph)
+                src_b = jax.vmap(
+                    lambda t: sample2d(t, u, v, filter_linear=True)
+                )(src_b)
+            return src_b
+
         if temporal:
 
             def batch_fn(raw_b, state: _ChainState):
-                src_b = Engine._to_rgba_float(raw_b)
+                src_b = normalize(raw_b)
 
                 def step(carry, src):
                     hist, fb, fc, tm = carry
@@ -373,7 +412,7 @@ class Engine:
         else:
 
             def batch_fn(raw_b, state: _ChainState):
-                src_b = Engine._to_rgba_float(raw_b)
+                src_b = normalize(raw_b)
 
                 def one(src):
                     out, _, _ = single(
