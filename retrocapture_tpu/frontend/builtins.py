@@ -36,18 +36,32 @@ def _xp(*datas):
 
 
 def _align_variadic(args: list[V]) -> tuple[list, GType]:
-    """Broadcast scalars among args to the common vector shape."""
+    """Broadcast scalars among args to the common vector shape. Vectors
+    of differing widths truncate to the narrowest (driver-lenient, same
+    rule as align_pair)."""
     shape = ()
     base = "bool"
     for a in args:
         base = promote_base(base, a.type.base)
         if len(a.type.shape) > len(shape):
             shape = a.type.shape
+        elif (
+            len(a.type.shape) == len(shape) == 1
+            and a.type.shape[0] < shape[0]
+        ):
+            shape = a.type.shape
     out = []
     for a in args:
         a = a.astype(base)
         if a.type.shape != shape:
-            a = a.expand_to(shape)
+            if (
+                a.type.is_vector
+                and len(shape) == 1
+                and a.type.shape[0] > shape[0]
+            ):
+                a = V(a.data[..., : shape[0]], GType(a.type.base, shape))
+            else:
+                a = a.expand_to(shape)
         out.append(a.data)
     return out, GType(base, shape)
 
@@ -325,6 +339,13 @@ def _b_outer_product(a: V, b: V) -> V:
     return V(out, GType("float", (b.type.shape[0], a.type.shape[0])))
 
 
+def _b_determinant(m: V) -> V:
+    xp = _xp(m.data)
+    # det(A^T) == det(A), so the [cols, rows] layout needs no transpose.
+    det = np.linalg.det(np.asarray(m.data)) if xp is np else jnp.linalg.det(m.data)
+    return V(det.astype(np.float32) if xp is np else det, FLOAT)
+
+
 def _b_inverse(m: V) -> V:
     xp = _xp(m.data)
     # data is [..., cols, rows]; linalg.inv works on [..., rows, cols];
@@ -514,6 +535,7 @@ _BUILTINS: dict[str, Callable] = {
     "outerProduct": _b_outer_product,
     "transpose": _b_transpose,
     "inverse": _b_inverse,
+    "determinant": _b_determinant,
     "lessThan": _relational("less"),
     "lessThanEqual": _relational("less_equal"),
     "greaterThan": _relational("greater"),

@@ -315,6 +315,22 @@ class ShaderEval:
     def _eval_init(self, ts: A.TypeSpec, d: A.Declarator, init: A.Expr):
         if isinstance(init, A.BraceInit):
             return self._eval_brace_init(ts, d.array_size or [], init)
+        # GLSL array constructor: `vec2 d[2] = vec2[](a, b)` /
+        # `mat2 w[2] = mat2[2](x, y)` — the parser yields Call(elem_type)
+        # with the declarator carrying the array size.
+        if (
+            d.array_size
+            and isinstance(init, A.Call)
+            and init.func == ts.name
+        ):
+            elem_t = TYPE_NAMES.get(ts.name, FLOAT)
+            elems = []
+            for a_expr in init.args:
+                v = self.eval(a_expr)
+                if isinstance(v, V) and not elem_t.is_matrix:
+                    v = self._convert_scalar(v, elem_t)
+                elems.append(v)
+            return ArrayVal(elems, elem_t)
         val = self.eval(init)
         return self._coerce_decl(ts, d, val)
 
@@ -439,7 +455,11 @@ class ShaderEval:
             fr.ret_val = _masked_merge(fr.ret_val, val, self.mask) if fr.ret_val is not None else _masked_merge(self._zeros_like(val), val, self.mask)
         fr.ret_mask = _or_mask(fr.ret_mask, self.mask)
 
-    def _zeros_like(self, v: V) -> V:
+    def _zeros_like(self, v):
+        if isinstance(v, StructVal):
+            return StructVal(v.name, {k: self._zeros_like(x) for k, x in v.fields.items()})
+        if isinstance(v, ArrayVal):
+            return ArrayVal([self._zeros_like(x) for x in v.elems], v.elem_type)
         return V(jnp.zeros_like(jnp.asarray(v.data)), v.type)
 
     def _exec_break(self) -> None:
@@ -664,7 +684,9 @@ class ShaderEval:
         idx = self.eval(e.index)
         if isinstance(obj, ArrayVal):
             if is_concrete(idx.data) and idx.batch_shape == ():
-                return obj.elems[int(idx.data)]
+                # Out-of-bounds array reads are UB in GLSL; drivers clamp.
+                k = min(max(int(idx.data), 0), len(obj.elems) - 1)
+                return obj.elems[k]
             return self._dynamic_array_index(obj, idx)
         if isinstance(obj, V):
             if obj.type.is_matrix:
@@ -688,14 +710,37 @@ class ShaderEval:
         if not arr.elems:
             raise UnsupportedShaderError("index into empty array")
         proto = arr.elems[0]
+        i = jnp.clip(jnp.asarray(idx.astype("int").data), 0, len(arr.elems) - 1)
         if isinstance(proto, V):
-            stacked = jnp.stack([jnp.asarray(x.data) for x in arr.elems], axis=0)
-            i = jnp.clip(jnp.asarray(idx.astype("int").data), 0, len(arr.elems) - 1)
-            out = jnp.take(stacked, i, axis=0)
-            # i may be batch-shaped; take moves batch to front which is
-            # already the layout (batch..., comps) — correct because axis=0
-            # selection with batched i yields i.shape + elem.shape.
+            datas = [jnp.asarray(x.data) for x in arr.elems]
+            if jnp.ndim(i) == 0:
+                stacked = jnp.stack(datas, axis=0)
+                return V(jnp.take(stacked, i, axis=0), proto.type)
+            # Batched index: select elementwise (a where-chain), NOT an
+            # outer take — elements may themselves be batch-shaped and an
+            # outer take would produce [batch, batch, ...] tensors.
+            sel = jnp.asarray(i)
+            type_rank = len(proto.type.shape)
+            out = datas[0]
+            out = jnp.broadcast_to(
+                out, jnp.broadcast_shapes(*(d.shape for d in datas))
+            ) if len({d.shape for d in datas}) > 1 else out
+            for k in range(1, len(datas)):
+                m = sel == k
+                mm = m
+                for _ in range(type_rank):
+                    mm = mm[..., None]
+                out = jnp.where(mm, datas[k], out)
             return V(out, proto.type)
+        if isinstance(proto, ArrayVal):
+            # dynamic index into an array of arrays: recurse per element
+            inner = [
+                self._dynamic_array_index(
+                    ArrayVal([a.elems[j] for a in arr.elems], proto.elem_type), idx
+                )
+                for j in range(len(proto.elems))
+            ]
+            return ArrayVal(inner, proto.elem_type)
         raise UnsupportedShaderError("dynamic index into non-numeric array")
 
     def _eval_ternary(self, e: A.Ternary):

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from retrocapture_tpu.frontend.interp import UnsupportedShaderError
+from retrocapture_tpu.frontend.values import GlslEvalError
 from retrocapture_tpu.frontend.values import GType, SamplerVal, V
 from retrocapture_tpu.graph.plan import (
     PassContext,
@@ -94,6 +95,7 @@ class Engine:
         self._mesh = mesh  # jax.sharding.Mesh: batch over 'data' axis
         self._spatial = spatial  # additionally shard W over 'space'
         self._max_resolution: Optional[tuple[int, int]] = None
+        self._lowering_failed = False
         self.shader_active = False
         self.last_error: Optional[str] = None
 
@@ -105,6 +107,7 @@ class Engine:
         self._jit_cache.clear()
         self._states.clear()
         self._custom_params.clear()
+        self._lowering_failed = False
         try:
             if str(path).endswith(".glsl"):
                 preset = Preset.loads(f"shaders = 1\nshader0 = {path}\n", path=str(path))
@@ -201,7 +204,7 @@ class Engine:
         b, h, w = arr.shape[0], arr.shape[1], arr.shape[2]
         vw, vh = self._viewport or (w, h)
 
-        if self._program is None:
+        if self._program is None or self._lowering_failed:
             src = self._to_rgba_float(arr)
             out = self._passthrough(src, vw, vh)[..., :3]
             return out if batched else out[0]
@@ -209,14 +212,28 @@ class Engine:
         # Input normalization (u8→float, RGB→RGBA) happens INSIDE the jit
         # — eager ops per call are expensive on remote backends.
         key = (h, w, vw, vh)
-        state = self._get_state(key, jnp.float32)
-        fn = self._get_jit(key)
-        temporal = self._program.uses_history() or self._program.uses_feedback()
-        if self._mesh is not None and not temporal:
-            from retrocapture_tpu.parallel.mesh import shard_frames
+        try:
+            state = self._get_state(key, jnp.float32)
+            fn = self._get_jit(key)
+            temporal = self._program.uses_history() or self._program.uses_feedback()
+            if self._mesh is not None and not temporal:
+                from retrocapture_tpu.parallel.mesh import shard_frames
 
-            arr = shard_frames(arr, self._mesh, spatial=self._spatial)
-        out, new_state = fn(arr, state)
+                arr = shard_frames(arr, self._mesh, spatial=self._spatial)
+            out, new_state = fn(arr, state)
+        except (GlslEvalError, ValueError, IndexError, TypeError) as e:
+            # A pass failed to lower — the reference's GL compile would
+            # have failed too; degrade to passthrough but KEEP the
+            # extracted parameter metadata (ShaderEngine.cpp:294-314).
+            log.warning("shader lowering failed, passthrough: %s", e)
+            self.last_error = f"{type(e).__name__}: {e}"
+            self.shader_active = False
+            self._lowering_failed = True
+            self._jit_cache.clear()
+            self._states.clear()
+            src = self._to_rgba_float(arr)
+            out = self._passthrough(src, vw, vh)[..., :3]
+            return out if batched else out[0]
         self._states[key] = new_state
         return out if batched else out[0]
 
