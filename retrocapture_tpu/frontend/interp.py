@@ -181,6 +181,7 @@ class ShaderEval:
         self.globals: dict[str, Any] = {}
         self.out_names: list[str] = []
         self.varying_names: list[str] = []
+        self.written_globals: set[str] = set()
         self.discard_mask = None
         self.frames: list[_Frame] = []
         self.loop_stack: list[_LoopCtx] = []
@@ -200,12 +201,24 @@ class ShaderEval:
             pass
         self.frames.pop()
 
+        # Output color: prefer an output that main() actually WROTE —
+        # compat-era shaders declare `out vec4 FragColor` on the 130 path
+        # but still write gl_FragColor (drivers tolerate it when only one
+        # is used); the unwritten declaration must not shadow the real
+        # output with zeros.
+        candidates = ("FragColor", "gl_FragColor", *self.out_names)
         out = None
-        for name in ("FragColor", "gl_FragColor", *self.out_names):
+        for name in candidates:
             v = self.globals.get(name)
-            if isinstance(v, V) and v.type.shape == (4,):
+            if name in self.written_globals and isinstance(v, V) and v.type.shape == (4,):
                 out = v
                 break
+        if out is None:
+            for name in candidates:
+                v = self.globals.get(name)
+                if isinstance(v, V) and v.type.shape == (4,):
+                    out = v
+                    break
         if out is None:
             frag_data = self.globals.get("gl_FragData")
             if isinstance(frag_data, ArrayVal) and frag_data.elems:
@@ -626,8 +639,10 @@ class ShaderEval:
             fr.locals[name] = _masked_merge(fr.locals[name], val, self.mask)
         elif name in self.globals:
             self.globals[name] = _masked_merge(self.globals[name], val, self.mask)
+            self.written_globals.add(name)
         elif name in self._BUILTIN_OUTPUTS:
             self.globals[name] = val
+            self.written_globals.add(name)
         else:
             fr.locals[name] = val
 
@@ -873,6 +888,7 @@ class ShaderEval:
                 fr.locals[target.name] = val
             elif target.name in self.globals:
                 self.globals[target.name] = val
+                self.written_globals.add(target.name)
             else:
                 fr.locals[target.name] = val
             return

@@ -149,6 +149,42 @@ def _load_png_rgba(path: str) -> np.ndarray:
     return arr
 
 
+def _compat_rewrites(src: str, shader_path: str, cfg) -> str:
+    """Per-shader compatibility source rewrites, mirroring the
+    reference's injectCompatibilityCode (ShaderPreprocessor.cpp:527-634):
+
+    * box-center.glsl treats gl_FragCoord as normalized in its border
+      test (black screen otherwise) — normalize it;
+    * interlacing.glsl in a height-scaling pass needs line-replicated
+      input coords and output-based interlace parity."""
+    if "box-center.glsl" in shader_path:
+        pat = "bordertest = gl_FragCoord.xy;"
+        src = src.replace(
+            pat, pat + "\n   bordertest = bordertest / OutputSize.xy;"
+        )
+    if "interlacing.glsl" in shader_path:
+        scales_height = cfg.scale_type_y in ("viewport", "absolute") or (
+            cfg.scale_type_y == "source" and cfg.scale_y != 1.0
+        )
+        if scales_height:
+            src = src.replace(
+                "TEX0.xy = TexCoord.xy;",
+                "TEX0.xy = TexCoord.xy;\n"
+                "   TEX0.y = (floor(TEX0.y * OutputSize.y / 2.0) + 0.5) / InputSize.y;",
+            )
+            src = re.sub(
+                r"\by\s*=\s*2\.0+[0-9]*\s*\*\s*TextureSize\.y\s*\*\s*vTexCoord\.y",
+                "y = 2.000001 * TextureSize.y * (gl_FragCoord.y / OutputSize.y)",
+                src,
+            )
+            src = re.sub(
+                r"\by\s*=\s*TextureSize\.y\s*\*\s*vTexCoord\.y",
+                "y = TextureSize.y * (gl_FragCoord.y / OutputSize.y)",
+                src,
+            )
+    return src
+
+
 def compile_preset(preset: Preset) -> PresetProgram:
     passes: list[CompiledPass] = []
     all_params: dict[str, PragmaParameter] = {}
@@ -157,6 +193,7 @@ def compile_preset(preset: Preset) -> PresetProgram:
         if not path.is_file():
             raise PresetCompileError(f"pass {i}: shader not found: {cfg.shader_path}")
         src = path.read_text(encoding="utf-8", errors="replace")
+        src = _compat_rewrites(src, str(path), cfg)
         vsrc, vparams = preprocess(src, "vertex", filename=str(path))
         fsrc, fparams = preprocess(src, "fragment", filename=str(path))
         vtu = parse(vsrc)
