@@ -295,10 +295,31 @@ class Engine:
 
     # convenience mirrors of the reference's RGB24 readback output
     def apply_u8(self, frames) -> np.ndarray:
-        """Like apply() but quantizes to uint8 ON DEVICE, so the host
-        transfer moves 1/4 of the bytes (the PBO-readback analog)."""
-        out = self.apply(frames)
-        return np.asarray(_quantize_u8(out))
+        """Like apply() but the final blit fuses resample+quantize (the
+        Pallas kernel on TPU) and returns uint8 — the host transfer moves
+        1/4 of the bytes (the PBO-readback analog)."""
+        arr = jnp.asarray(frames)
+        batched = arr.ndim == 4
+        if (
+            self._program is None
+            or self._lowering_failed
+            or arr.ndim not in (3, 4)
+        ):
+            return np.asarray(_quantize_u8(self.apply(frames)))
+        if not batched:
+            arr = arr[None]
+        h, w = arr.shape[1], arr.shape[2]
+        vw, vh = self._viewport or (w, h)
+        key = (h, w, vw, vh)
+        try:
+            state = self._get_state(key, jnp.float32)
+            fn = self._get_jit(key, u8=True)
+            out, new_state = fn(arr, state)
+        except (GlslEvalError, ValueError, IndexError, TypeError, NotImplementedError):
+            return np.asarray(_quantize_u8(self.apply(frames)))
+        self._states[key] = new_state
+        out = np.asarray(out)
+        return out if batched else out[0]
 
     # -- internals ------------------------------------------------------
     @staticmethod
@@ -368,8 +389,9 @@ class Engine:
             pw = int(round(mh * aspect))
         return max((pw // 2) * 2, 2), max((ph // 2) * 2, 2)
 
-    def _get_jit(self, key):
-        fn = self._jit_cache.get(key)
+    def _get_jit(self, key, u8: bool = False):
+        cache_key = (key, u8) if u8 else key
+        fn = self._jit_cache.get(cache_key)
         if fn is not None:
             return fn
         h, w, vw, vh = key
@@ -379,6 +401,30 @@ class Engine:
         params = dict(prog.defaults)
         params.update(self._custom_params)
         temporal = prog.uses_history() or prog.uses_feedback()
+
+        def finalize(outs_b):
+            """Batched viewport blit + output packing. The u8 path fuses
+            resample+quantize in the Pallas kernel (ops/pallas/resample)
+            and moves 1/4 of the output bytes."""
+            needs_blit = outs_b.shape[1] != vh or outs_b.shape[2] != vw
+            if not u8:
+                if needs_blit:
+                    u, v = _grids(vw, vh)
+                    outs_b = jax.vmap(
+                        lambda t: sample2d(t, u, v, filter_linear=True)
+                    )(outs_b)
+                return outs_b
+            if not needs_blit:
+                return jnp.round(jnp.clip(outs_b, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            from retrocapture_tpu.ops.pallas.resample import resample_u8
+            from retrocapture_tpu.ops.sampling import _axis_matrix
+
+            sh, sw = outs_b.shape[1], outs_b.shape[2]
+            u_row = ((np.arange(vw) + 0.5) / vw).astype(np.float32)
+            v_col = ((np.arange(vh) + 0.5) / vh).astype(np.float32)
+            ax = _axis_matrix(u_row, sw, True, "clamp_to_edge")
+            ay = _axis_matrix(v_col, sh, True, "clamp_to_edge")
+            return jax.vmap(lambda t: resample_u8(t, ay, ax))(outs_b)
 
         def single(src, history, feedback, frame_count, time, blit=True):
             return _run_chain(
@@ -418,12 +464,7 @@ class Engine:
                 carry0 = (state.history, state.feedback, state.frame_count, state.time)
                 carry, outs = jax.lax.scan(step, carry0, src_b)
                 hist, fb, fc, tm = carry
-                outs = outs[..., :3]
-                if outs.shape[1] != vh or outs.shape[2] != vw:
-                    u, v = _grids(vw, vh)
-                    outs = jax.vmap(
-                        lambda t: sample2d(t, u, v, filter_linear=True)
-                    )(outs)
+                outs = finalize(outs[..., :3])
                 return outs, _ChainState(hist, fb, fc, tm)
 
         else:
@@ -433,11 +474,16 @@ class Engine:
 
                 def one(src):
                     out, _, _ = single(
-                        src, state.history, state.feedback, state.frame_count, state.time
+                        src,
+                        state.history,
+                        state.feedback,
+                        state.frame_count,
+                        state.time,
+                        blit=False,
                     )
                     return out
 
-                outs = jax.vmap(one)(src_b)
+                outs = finalize(jax.vmap(one)(src_b)[..., :3])
                 n = src_b.shape[0]
                 return outs, _ChainState(
                     state.history,
@@ -446,7 +492,7 @@ class Engine:
                     state.time + jnp.float32(0.016) * n,
                 )
 
-        if self._mesh is not None and not temporal:
+        if self._mesh is not None and not temporal and not u8:
             # Data-parallel over the mesh: frames shard over 'data' (and
             # optionally W over 'space'); temporal-state scalars replicate.
             from retrocapture_tpu.parallel.mesh import frame_sharding, replicated
@@ -460,7 +506,7 @@ class Engine:
             )
         else:
             fn = jax.jit(batch_fn)
-        self._jit_cache[key] = fn
+        self._jit_cache[cache_key] = fn
         return fn
 
     def _state_proto(self, key):

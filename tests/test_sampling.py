@@ -102,3 +102,22 @@ def test_grid_shaped_coords():
         tex, u, v, filter_linear=True, wrap_mode="clamp_to_edge"
     )
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_pallas_resample_u8_fallback_matches_einsum():
+    """resample_u8 (einsum fallback on CPU) matches quantized two-einsum."""
+    import jax.numpy as jnp
+
+    from retrocapture_tpu.ops.pallas.resample import _einsum_fallback, resample_u8
+    from retrocapture_tpu.ops.sampling import _axis_matrix
+
+    rng = np.random.default_rng(3)
+    tex = jnp.asarray(rng.random((24, 32, 3)).astype(np.float32))
+    u = ((np.arange(64) + 0.5) / 64).astype(np.float32)
+    v = ((np.arange(48) + 0.5) / 48).astype(np.float32)
+    ax = _axis_matrix(u, 32, True, "clamp_to_edge")
+    ay = _axis_matrix(v, 24, True, "clamp_to_edge")
+    a = np.asarray(resample_u8(tex, ay, ax))
+    b = np.asarray(_einsum_fallback(tex, jnp.asarray(ay), jnp.asarray(ax)))
+    assert a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
