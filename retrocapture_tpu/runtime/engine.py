@@ -189,6 +189,56 @@ class Engine:
     def reset_state(self) -> None:
         self._states.clear()
 
+    # -- state checkpoint/restore ----------------------------------------
+    def save_state(self, path: str) -> None:
+        """Serialize temporal state (history ring, PassFeedback textures,
+        frame counters) to an .npz — mid-stream resume for temporal
+        presets, a capability the reference lacks (its persistence is
+        config-only, SURVEY.md §5)."""
+        blobs: dict[str, np.ndarray] = {}
+        meta = []
+        for ki, (key, st) in enumerate(self._states.items()):
+            meta.append(
+                {
+                    "key": list(key),
+                    "n_history": len(st.history),
+                    "feedback_keys": sorted(st.feedback),
+                }
+            )
+            for j, htex in enumerate(st.history):
+                blobs[f"s{ki}_h{j}"] = np.asarray(htex)
+            for j in sorted(st.feedback):
+                blobs[f"s{ki}_f{j}"] = np.asarray(st.feedback[j])
+            blobs[f"s{ki}_fc"] = np.asarray(st.frame_count)
+            blobs[f"s{ki}_tm"] = np.asarray(st.time)
+        import json as _json
+
+        blobs["__meta__"] = np.frombuffer(
+            _json.dumps(meta).encode(), dtype=np.uint8
+        )
+        np.savez(path, **blobs)
+
+    def load_state(self, path: str) -> None:
+        import json as _json
+
+        data = np.load(path)
+        meta = _json.loads(bytes(data["__meta__"]).decode())
+        self._states.clear()
+        for ki, m in enumerate(meta):
+            history = tuple(
+                jnp.asarray(data[f"s{ki}_h{j}"]) for j in range(m["n_history"])
+            )
+            feedback = {
+                j: jnp.asarray(data[f"s{ki}_f{j}"]) for j in m["feedback_keys"]
+            }
+            st = _ChainState(
+                history=history,
+                feedback=feedback,
+                frame_count=jnp.asarray(data[f"s{ki}_fc"]),
+                time=jnp.asarray(data[f"s{ki}_tm"]),
+            )
+            self._states[tuple(m["key"])] = st
+
     # -- application ----------------------------------------------------
     def apply(self, frames) -> jax.Array:
         """Process one frame [H,W,3|4] or a batch [B,H,W,3|4] (uint8 or

@@ -63,6 +63,9 @@ class FramePipeline:
         self.window = window
         self._prep_jit: dict = {}
         self._blit_jit: dict = {}
+        from retrocapture_tpu.utils.metrics import FrameStats
+
+        self.stats = FrameStats()
 
     # -- source preparation --------------------------------------------
     def _prepare(self, frames: jax.Array) -> jax.Array:
@@ -138,13 +141,18 @@ class FramePipeline:
     def process(self, frames) -> jax.Array:
         """uint8/float [H,W,3] or [B,H,W,3] → float32 RGB at the window
         (or viewport) size, shader chain applied when loaded."""
+        import time as _time
+
+        t0 = _time.monotonic()
         arr = jnp.asarray(frames)
         batched = arr.ndim == 4
         if not batched:
             arr = arr[None]
+        n = arr.shape[0]
         if arr.dtype == jnp.uint8:
             arr = arr.astype(jnp.float32) * (1.0 / 255.0)
         arr = self._prepare(arr)
         out = self.engine.apply(arr)
         out = self._blit(out)
+        self.stats.tick(n, latency_s=_time.monotonic() - t0)
         return out if batched else out[0]

@@ -241,3 +241,26 @@ def test_multi_stream_mesh_sharded():
     assert seq.load_preset(str(preset))
     ref = np.asarray(seq.apply(np.stack([white] * 4)))
     np.testing.assert_allclose(outs[5], ref, atol=1e-6)
+
+
+def test_state_checkpoint_resume(tmp_path):
+    """Mid-stream save/restore of temporal state reproduces the exact
+    continuation (a capability beyond the reference's config-only
+    persistence)."""
+    import pathlib
+
+    preset = pathlib.Path(__file__).resolve().parents[1] / "assets/presets/feedback-ghost.glslp"
+    white = np.full((48, 64, 3), 255, np.uint8)
+    e = Engine(viewport=(64, 48))
+    assert e.load_preset(str(preset))
+    e.apply(white)
+    e.apply(white)
+    ckpt = tmp_path / "state.npz"
+    e.save_state(str(ckpt))
+    cont_a = np.asarray(e.apply(white))
+
+    e2 = Engine(viewport=(64, 48))
+    assert e2.load_preset(str(preset))
+    e2.load_state(str(ckpt))
+    cont_b = np.asarray(e2.apply(white))
+    np.testing.assert_allclose(cont_a, cont_b, atol=1e-7)

@@ -80,3 +80,19 @@ def test_config_applies_to_engine(tmp_path, monkeypatch, shader_root):
     assert e.get_parameter("CURVATURE") == 0.25
     out = np.asarray(e.apply(np.zeros((24, 32, 3), np.uint8)))
     assert out.shape == (48, 64, 3)
+
+
+def test_frame_stats():
+    import time
+
+    from retrocapture_tpu.utils.metrics import FrameStats, Timer
+
+    s = FrameStats()
+    with Timer(s, n_frames=4):
+        time.sleep(0.01)
+    s.tick(4, latency_s=0.02)
+    snap = s.snapshot()
+    assert snap["frames"] == 8
+    assert snap["batches"] == 2
+    assert snap["latency_p50_ms"] >= 10.0
+    assert snap["fps_ema"] > 0
