@@ -27,7 +27,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Callable, Iterable, Optional
+from typing import Callable, Optional
 
 __all__ = ["Preprocessor", "PragmaParameter", "preprocess", "PreprocessError"]
 

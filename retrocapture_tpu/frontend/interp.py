@@ -24,7 +24,7 @@ interpolation exactly.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Protocol
+from typing import Any, Optional, Protocol
 
 import jax.numpy as jnp
 import numpy as np

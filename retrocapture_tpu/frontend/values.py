@@ -15,9 +15,8 @@ trace time instead of emitting them into the XLA graph.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Sequence, Union
+from typing import Any
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

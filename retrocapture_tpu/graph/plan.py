@@ -34,13 +34,12 @@ clamp_to_edge (createFramebuffer :2902-2904). We replicate that rule.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Optional
 
 import numpy as np
 
-from retrocapture_tpu.frontend import glsl_ast as A
 from retrocapture_tpu.frontend.cpp import PragmaParameter, preprocess
 from retrocapture_tpu.frontend.glsl_parser import parse
 from retrocapture_tpu.frontend.interp import ShaderEval

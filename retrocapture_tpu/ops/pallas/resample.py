@@ -16,11 +16,9 @@ back to the einsum path off-TPU or when the working set exceeds VMEM.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["resample_u8", "pallas_available"]
 

@@ -23,8 +23,6 @@ affine-grid cases.
 
 from __future__ import annotations
 
-import functools
-from typing import Union
 
 import jax
 import jax.numpy as jnp

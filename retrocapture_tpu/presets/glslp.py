@@ -30,7 +30,6 @@ import os
 import re
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Optional
 
 __all__ = ["Preset", "PassConfig", "TextureConfig", "PresetError"]
 

@@ -24,7 +24,6 @@ Execution model (TPU-first, not a port):
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any, Optional
 
@@ -34,7 +33,7 @@ import numpy as np
 
 from retrocapture_tpu.frontend.interp import UnsupportedShaderError
 from retrocapture_tpu.frontend.values import GlslEvalError
-from retrocapture_tpu.frontend.values import GType, SamplerVal, V
+from retrocapture_tpu.frontend.values import GType, V
 from retrocapture_tpu.graph.plan import (
     PassContext,
     PresetProgram,
