@@ -1115,6 +1115,28 @@ class ShaderEval:
             d = uv.data
             last = uv.type.shape[0] - 1
             uv = V(d[..., :2] / d[..., last : last + 1], GType("float", (2,)))
+
+        # Explicit-LOD sampling of a mipmapped texture (textureLod /
+        # tex2Dlod-era code like crt-royale's mask resizers): a concrete
+        # LOD selects box-pyramid levels with a trilinear blend.
+        if sampler.mipmap and name in ("textureLod", "texture2DLod") and len(args) >= 3:
+            lod_v = args[2]
+            if is_concrete(lod_v.data) and lod_v.batch_shape == ():
+                from retrocapture_tpu.ops.sampling import sample2d_lod
+
+                lod = float(np.asarray(lod_v.astype("float").data))
+                d = uv.data
+                if is_concrete(d):
+                    d = np.asarray(d, np.float32)
+                out = sample2d_lod(
+                    jnp.asarray(sampler.tex),
+                    d[..., 0],
+                    d[..., 1],
+                    lod,
+                    filter_linear=sampler.filter_linear,
+                    wrap_mode=sampler.wrap_mode,
+                )
+                return V(out, GType("float", (4,)))
         if name in ("textureOffset", "texture2DOffset", "textureLodOffset"):
             off = args[3 if name == "textureLodOffset" else 2].astype("float")
             texel = np.array([1.0 / w, 1.0 / h], np.float32)

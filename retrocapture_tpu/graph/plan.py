@@ -427,6 +427,20 @@ class PassContext:
             j = self._alias_to_pass[name[:-4]]
             t = self.shapes[j]
             return sized(t.out_w, t.out_h)
+        # Alias-prefixed cg-style size uniforms (crt-royale declares e.g.
+        # `uniform vec2 HALATION_BLURtexture_size;` — RetroArch sets these;
+        # the reference leaves them 0, black-screening royale chains).
+        for suffix, kind in (
+            ("texture_size", "out"),
+            ("output_size", "out"),
+            ("video_size", "in"),
+        ):
+            if name.endswith(suffix) and name[: -len(suffix)] in self._alias_to_pass:
+                j = self._alias_to_pass[name[: -len(suffix)]]
+                t = self.shapes[j]
+                if kind == "out":
+                    return sized(t.out_w, t.out_h)
+                return sized(t.in_w, t.in_h)
         if name.endswith("Size") and name[:-4] in self.program.luts:
             lut = self.program.luts[name[:-4]]
             return sized(lut.data.shape[1], lut.data.shape[0])

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["sample2d", "sample2d_affine", "sample2d_affine_mip", "WRAP_MODES"]
+__all__ = ["sample2d", "sample2d_affine", "sample2d_affine_mip", "sample2d_lod", "WRAP_MODES"]
 
 WRAP_MODES = ("clamp_to_edge", "clamp_to_border", "repeat", "mirrored_repeat")
 
@@ -176,6 +176,35 @@ def sample2d_affine_mip(
     s1 = sample2d_affine(
         levels[l1], u_aff, v_aff, oh, ow, filter_linear=True, wrap_mode=wrap_mode
     )
+    return s0 + (s1 - s0) * jnp.float32(frac)
+
+
+def sample2d_lod(
+    tex: jax.Array,
+    u,
+    v,
+    lod: float,
+    *,
+    filter_linear: bool,
+    wrap_mode: str = "clamp_to_edge",
+) -> jax.Array:
+    """Explicit-LOD sampling (textureLod with a trace-time-constant LOD)
+    over a box pyramid: trilinear between the two adjacent levels."""
+    h, w, _ = tex.shape
+    max_lod = int(np.floor(np.log2(max(min(h, w), 1))))
+    lod = min(max(lod, 0.0), float(max_lod))
+    l0 = int(np.floor(lod))
+    l1 = min(l0 + 1, max_lod)
+    frac = lod - l0 if l1 > l0 else 0.0
+    level = tex
+    levels = [tex]
+    for _ in range(l1):
+        level = _box_downsample(level)
+        levels.append(level)
+    s0 = sample2d(levels[l0], u, v, filter_linear=filter_linear, wrap_mode=wrap_mode)
+    if frac == 0.0:
+        return s0
+    s1 = sample2d(levels[l1], u, v, filter_linear=filter_linear, wrap_mode=wrap_mode)
     return s0 + (s1 - s0) * jnp.float32(frac)
 
 
