@@ -268,10 +268,21 @@ def swizzle_read(v: V, name: str) -> V:
 
 
 def swizzle_write(target: V, name: str, value: V) -> V:
-    """Return a copy of ``target`` with swizzled components replaced."""
+    """Return a copy of ``target`` with swizzled components replaced.
+    Affine coordinate metadata merges per component (varying assignments
+    like ``TEX0.xy = TexCoord.xy - offset`` must keep the proof)."""
     idx = swizzle_indices(name)
     if idx is None or not target.type.is_vector:
         raise GlslEvalError(f"bad swizzle write .{name} on {target.type}")
+    new_affine = None
+    if target.type.base == "float":
+        t_aff = affine_of(target, target.type.shape[0])
+        v_aff = affine_of(value, len(idx) if not value.type.is_scalar else 1)
+        if t_aff is not None and v_aff is not None:
+            merged = list(t_aff)
+            for j, i in enumerate(idx):
+                merged[i] = v_aff[j if not value.type.is_scalar else 0]
+            new_affine = tuple(merged)
     data = target.data
     val = value.data
     if len(idx) == 1:
@@ -289,14 +300,14 @@ def swizzle_write(target: V, name: str, value: V) -> V:
             out = np.broadcast_to(out, b.shape + (out.shape[-1],)).copy()
         for i, c in zip(idx, comps):
             out[..., i] = c
-        return V(out, target.type)
+        return V(out, target.type, affine=new_affine)
     data = jnp.asarray(data)
     n = target.type.shape[0]
     cols = [data[..., i] for i in range(n)]
     for i, c in zip(idx, comps):
         cols[i] = c
     cols = jnp.broadcast_arrays(*cols)
-    return V(jnp.stack(cols, axis=-1), target.type)
+    return V(jnp.stack(cols, axis=-1), target.type, affine=new_affine)
 
 
 # ---------------------------------------------------------------------------
