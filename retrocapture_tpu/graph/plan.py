@@ -345,7 +345,10 @@ class PassContext:
                 return self._history_or_input(k)
             m = _PASSPREV_TEX_RE.match(name)
             if m:
-                return self._history_or_input(int(m.group(1)) - 1)
+                # At pass 0 the reference pairs PassPrevNTexture with
+                # PrevNTexture — both bind history[N]
+                # (ShaderEngine.cpp:1100-1125).
+                return self._history_or_input(int(m.group(1)))
         else:
             m = _PASSPREV_TEX_RE.match(name)
             if m:

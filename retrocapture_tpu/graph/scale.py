@@ -14,11 +14,19 @@ one fixed shape plan, which is what keys the jit cache (SURVEY.md §7
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
+from typing import Optional
 
 from retrocapture_tpu.presets.glslp import PassConfig, Preset
 
 __all__ = ["PassShapes", "compute_chain_shapes"]
+
+
+def _round(x: float) -> int:
+    """std::round — half away from zero (Python round() is banker's,
+    which gives off-by-one pass sizes at half-integer products)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
 
 @dataclass(frozen=True)
@@ -32,12 +40,12 @@ class PassShapes:
 def _calc(source: int, scale_type: str, scale: float, viewport: int) -> int:
     if scale_type in ("", "source"):
         s = scale if scale != 0.0 else 1.0
-        return max(1, round(source * s))
+        return max(1, _round(source * s))
     if scale_type == "viewport":
         s = scale if scale != 0.0 else 1.0
-        return max(1, round(viewport * s))
+        return max(1, _round(viewport * s))
     if scale_type == "absolute":
-        return max(1, round(scale))
+        return max(1, _round(scale))
     return max(1, source)
 
 
@@ -58,18 +66,35 @@ def pass_output_size(
     return _calc(in_w, stx, sx, viewport_w), _calc(in_h, sty, sy, viewport_h)
 
 
+def _clamp_pass_output(ow: int, oh: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Per-pass max-shader-resolution clamp, aspect-preserving, even dims
+    (ShaderEngine.cpp:896-909)."""
+    if max_w > 0 and ow > max_w:
+        aspect = ow / oh
+        ow = max_w
+        oh = max((_round(max_w / aspect) // 2) * 2, 2)
+    if max_h > 0 and oh > max_h:
+        aspect = ow / oh
+        oh = max_h
+        ow = max((_round(max_h * aspect) // 2) * 2, 2)
+    return ow, oh
+
+
 def compute_chain_shapes(
     preset: Preset,
     source_w: int,
     source_h: int,
     viewport_w: int,
     viewport_h: int,
+    max_resolution: Optional[tuple[int, int]] = None,
 ) -> list[PassShapes]:
     shapes: list[PassShapes] = []
     cur_w, cur_h = source_w, source_h
     n = len(preset.passes)
     for i, cfg in enumerate(preset.passes):
         ow, oh = pass_output_size(cfg, cur_w, cur_h, viewport_w, viewport_h, i == n - 1)
+        if max_resolution is not None:
+            ow, oh = _clamp_pass_output(ow, oh, max_resolution[0], max_resolution[1])
         shapes.append(PassShapes(cur_w, cur_h, ow, oh))
         cur_w, cur_h = ow, oh
     return shapes

@@ -215,12 +215,12 @@ class Engine:
         blobs["__meta__"] = np.frombuffer(
             _json.dumps(meta).encode(), dtype=np.uint8
         )
-        np.savez(path, **blobs)
+        np.savez(_npz_path(path), **blobs)
 
     def load_state(self, path: str) -> None:
         import json as _json
 
-        data = np.load(path)
+        data = np.load(_npz_path(path))
         meta = _json.loads(bytes(data["__meta__"]).decode())
         self._states.clear()
         for ki, m in enumerate(meta):
@@ -297,7 +297,7 @@ class Engine:
         assert arr.ndim == 5, "apply_streams expects [S, T, H, W, C]"
         s, t, h, w = arr.shape[0], arr.shape[1], arr.shape[2], arr.shape[3]
         vw, vh = self._viewport or (w, h)
-        if self._program is None:
+        if self._program is None or self._lowering_failed:
             src = self._to_rgba_float(arr)
             flat = src.reshape((s * t,) + src.shape[2:])
             out = self._passthrough(flat, vw, vh)[..., :3]
@@ -338,7 +338,18 @@ class Engine:
             else:
                 fn = jax.jit(multi)
             self._jit_cache[key] = fn
-        out, new_state = fn(src, state)
+        try:
+            out, new_state = fn(src, state)
+        except (GlslEvalError, ValueError, IndexError, TypeError) as e:
+            # Same degrade-to-passthrough path as apply()
+            # (ShaderEngine.cpp:294-314).
+            log.warning("shader lowering failed, passthrough: %s", e)
+            self.last_error = f"{type(e).__name__}: {e}"
+            self.shader_active = False
+            self._lowering_failed = True
+            self._jit_cache.clear()
+            self._states.clear()
+            return self.apply_streams(arr)
         self._states[key] = new_state
         return out[..., :3]
 
@@ -399,7 +410,9 @@ class Engine:
         h, w, vw, vh = key
         prog = self._program
         pw, ph = self._clamped_source(w, h)
-        shapes = compute_chain_shapes(prog.preset, pw, ph, vw, vh)
+        shapes = compute_chain_shapes(
+            prog.preset, pw, ph, vw, vh, max_resolution=self._max_resolution
+        )
         history = ()
         if prog.uses_history():
             last = shapes[-1]
@@ -446,7 +459,9 @@ class Engine:
         h, w, vw, vh = key
         prog = self._program
         pw, ph = self._clamped_source(w, h)
-        shapes = compute_chain_shapes(prog.preset, pw, ph, vw, vh)
+        shapes = compute_chain_shapes(
+            prog.preset, pw, ph, vw, vh, max_resolution=self._max_resolution
+        )
         params = dict(prog.defaults)
         params.update(self._custom_params)
         temporal = prog.uses_history() or prog.uses_feedback()
@@ -561,6 +576,12 @@ class Engine:
     def _state_proto(self, key):
         """A structural skeleton of the chain state for sharding trees."""
         return self._get_state(key, jnp.float32)
+
+
+def _npz_path(path: str) -> str:
+    """np.savez appends .npz when absent — normalize so a checkpoint
+    saved as 'state' loads back as 'state'."""
+    return path if str(path).endswith(".npz") else str(path) + ".npz"
 
 
 @jax.jit
