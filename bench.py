@@ -7,10 +7,14 @@ configs (BASELINE.json):
   2. xbr-lv2 upscale, 240p source -> 1080p
   3. crt-mattias CRT chain at 1080p
   4. ntsc-320px multi-pass composite (frame_count_mod temporal state)
-  5. PassFeedback ghost preset on a batched frame stream + fused YUYV->RGB
+  5. PassFeedback ghost preset on a batched frame stream with the
+     NV12->RGB convert fused into the chain's single XLA program
+     (Engine.set_input_format)
 
 Metric: geometric mean frames/sec across configs; vs_baseline is the
-ratio to the 5,000 fps/chip target.
+ratio to the 5,000 fps/chip target. Each config also reports
+single-frame p50/p95 latency (batch-1 submit->sync) and
+min/median/max window throughput so variance is visible.
 """
 
 from __future__ import annotations
@@ -27,54 +31,57 @@ SHADERS = Path("/root/reference/shaders/shaders_glsl")
 TARGET_FPS = 5000.0
 
 CONFIGS = [
-    # (name, preset path, source (h, w), batch) — batches sized to
-    # amortize per-dispatch latency; throughput is the metric.
-    ("scanline-320", SHADERS / "interpolation/sharp-bilinear-scanlines.glslp", (240, 320), 64),
-    ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 32),
+    # (name, preset path, source (h, w), batch, input_format)
+    ("scanline-320", SHADERS / "interpolation/sharp-bilinear-scanlines.glslp", (240, 320), 64, "rgb"),
+    ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 32, "rgb"),
     # 240p source (the CRT-shader operating point: the app feeds CRT
     # chains a logical-resolution downscale, FrameCapturePipeline.cpp:142)
     # rendered at a 1080p viewport.
-    ("crt-mattias-1080p", SHADERS / "crt/crt-mattias.glslp", (240, 320), 16),
-    ("ntsc-320px", SHADERS / "ntsc/ntsc-320px.glslp", (240, 320), 32),
-    ("feedback-ghost-yuyv", REPO / "assets/presets/feedback-ghost.glslp", (240, 320), 32),
+    ("crt-mattias-1080p", SHADERS / "crt/crt-mattias.glslp", (240, 320), 16, "rgb"),
+    ("ntsc-320px", SHADERS / "ntsc/ntsc-320px.glslp", (240, 320), 32, "rgb"),
+    ("feedback-ghost-nv12", REPO / "assets/presets/feedback-ghost.glslp", (240, 320), 32, "nv12"),
 ]
 
 VIEWPORT = (1920, 1080)  # (W, H)
 
 
-def bench_config(name, preset, shape, batch, *, iters=8, warmup=2):
+def _make_producer(rng, name, shape, batch, fmt):
     import jax
     import jax.numpy as jnp
 
-    from retrocapture_tpu.ops.colorspace import yuyv_to_rgb
+    h, w = shape
+    counter = [0]
+    if fmt == "nv12":
+        raw = jnp.asarray(
+            (rng.random((batch, h + h // 2, w)) * 255).astype(np.uint8)
+        )
+    else:
+        raw = jnp.asarray((rng.random((batch, h, w, 3)) * 255).astype(np.uint8))
+    # Every call gets genuinely different input (xor with a changing
+    # scalar, on device): the backend can cache identical dispatches,
+    # which would fake the numbers.
+    vary = jax.jit(lambda f, k: f ^ k)
+
+    def produce(n=None):
+        counter[0] += 1
+        out = vary(raw, jnp.uint8(counter[0] % 251))
+        return out[:n] if n is not None else out
+
+    return produce
+
+
+def bench_config(name, preset, shape, batch, fmt, *, iters=8, warmup=2):
+    import jax
+    import jax.numpy as jnp
+
     from retrocapture_tpu.runtime.engine import Engine
 
-    h, w = shape
     rng = np.random.default_rng(0)
     e = Engine(viewport=VIEWPORT)
     if not e.load_preset(str(preset)):
         return {"name": name, "error": e.last_error}
-
-    # Every call gets genuinely different input (xor with a changing
-    # scalar, computed on device): the backend can cache identical
-    # dispatches, which would fake the numbers.
-    counter = [0]
-    fused_yuyv = name.endswith("yuyv")
-    if fused_yuyv:
-        raw = jnp.asarray((rng.random((batch, h, w * 2)) * 255).astype(np.uint8))
-        vary = jax.jit(lambda r, k: yuyv_to_rgb(r ^ k, w, h))
-
-        def produce():
-            counter[0] += 1
-            return vary(raw, jnp.uint8(counter[0] % 251))
-
-    else:
-        frames = jnp.asarray((rng.random((batch, h, w, 3)) * 255).astype(np.uint8))
-        vary = jax.jit(lambda f, k: f ^ k)
-
-        def produce():
-            counter[0] += 1
-            return vary(frames, jnp.uint8(counter[0] % 251))
+    e.set_input_format(fmt)
+    produce = _make_producer(rng, name, shape, batch, fmt)
 
     # On this backend block_until_ready can return before execution
     # completes; a scalar host readback is the only honest sync. Engine
@@ -89,23 +96,42 @@ def bench_config(name, preset, shape, batch, *, iters=8, warmup=2):
     for _ in range(warmup - 1):
         float(sync(e.apply(produce())))
 
-    # Best-of-3 timing windows: host-side noise (other processes, tunnel
-    # hiccups) only ever slows a window down, so max(fps) is the honest
-    # steady-state number.
-    best_fps = 0.0
-    for _ in range(3):
+    # Throughput: report every timing window (min/median/max). Host-side
+    # noise (other processes, tunnel hiccups) only ever slows a window
+    # down, so max is the steady-state number; the spread shows variance.
+    window_fps = []
+    for _ in range(5):
         t0 = time.time()
         n = 0
         for _ in range(iters):
             out = e.apply(produce())
             n += batch
         float(sync(out))
-        dt = time.time() - t0
-        best_fps = max(best_fps, n / dt)
+        window_fps.append(n / (time.time() - t0))
+    window_fps.sort()
+
+    # Latency: single-frame submit->result round trips (batch 1), the
+    # p50 frame latency BASELINE.json asks to track.
+    lat = []
+    float(sync(e.apply(produce(1))))  # warm the batch-1 program
+    for _ in range(15):
+        t0 = time.time()
+        float(sync(e.apply(produce(1))))
+        lat.append((time.time() - t0) * 1e3)
+    lat.sort()
+
+    best_fps = window_fps[-1]
     return {
         "name": name,
         "fps": round(best_fps, 1),
         "ms_per_frame": round(1000.0 / best_fps, 3),
+        "fps_windows_min_med_max": [
+            round(window_fps[0], 1),
+            round(window_fps[len(window_fps) // 2], 1),
+            round(window_fps[-1], 1),
+        ],
+        "latency_p50_ms": round(lat[len(lat) // 2], 2),
+        "latency_p95_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 2),
         "compile_s": round(t_compile, 1),
         "batch": batch,
     }
@@ -113,9 +139,9 @@ def bench_config(name, preset, shape, batch, *, iters=8, warmup=2):
 
 def main() -> int:
     results = []
-    for name, preset, shape, batch in CONFIGS:
+    for name, preset, shape, batch, fmt in CONFIGS:
         try:
-            r = bench_config(name, preset, shape, batch)
+            r = bench_config(name, preset, shape, batch, fmt)
         except Exception as ex:  # noqa: BLE001
             r = {"name": name, "error": f"{type(ex).__name__}: {ex}"}
         results.append(r)

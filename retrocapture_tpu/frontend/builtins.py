@@ -26,6 +26,8 @@ from retrocapture_tpu.frontend.values import (
     combine_affine,
     is_concrete,
     promote_base,
+    union_all_deps,
+    union_deps,
 )
 
 __all__ = ["call_builtin", "is_builtin", "apply_binary", "apply_unary", "trunc_div_int"]
@@ -70,7 +72,10 @@ def _cw(fn: Callable, *args: V, result_base: str | None = None) -> V:
     datas, t = _align_variadic(list(args))
     xp = _xp(*datas)
     res = fn(xp, *datas)
-    return V(res, t if result_base is None else t.with_base(result_base))
+    # Component-wise functions preserve axis-dependence: the result
+    # component depends only on the axes its operands depend on.
+    dep = union_deps(args, max(t.ncomp, 1)) if not t.is_matrix else None
+    return V(res, t if result_base is None else t.with_base(result_base), deps=dep)
 
 
 # ---------------------------------------------------------------------------
@@ -98,12 +103,13 @@ def apply_binary(op: str, a: V, b: V) -> V:
             eq = xp.all(eq, axis=tuple(range(-len(t.shape), 0)))
         if op == "!=":
             eq = xp.logical_not(eq)
-        return V(eq, BOOL)
+        d = union_all_deps((a, b))
+        return V(eq, BOOL, deps=(d,) if d is not None else None)
     if op in ("<", ">", "<=", ">="):
         aa, bb, t = align_pair(a, b)
         xp = _xp(aa.data, bb.data)
         fn = {"<": xp.less, ">": xp.greater, "<=": xp.less_equal, ">=": xp.greater_equal}[op]
-        return V(fn(aa.data, bb.data), t.with_base("bool"))
+        return V(fn(aa.data, bb.data), t.with_base("bool"), deps=union_deps((a, b), max(t.ncomp, 1)))
     if op in ("&&", "||", "^^"):
         ab, bbt = a.astype("bool"), b.astype("bool")
         # Fold when one scalar side is concrete: keeps loop conditions like
@@ -119,7 +125,7 @@ def apply_binary(op: str, a: V, b: V) -> V:
         aa, bb, t = align_pair(ab, bbt)
         xp = _xp(aa.data, bb.data)
         fn = {"&&": xp.logical_and, "||": xp.logical_or, "^^": xp.logical_xor}[op]
-        return V(fn(aa.data, bb.data), t)
+        return V(fn(aa.data, bb.data), t, deps=union_deps((a, b), max(t.ncomp, 1)))
     aa, bb, t = align_pair(a, b)
     xp = _xp(aa.data, bb.data)
     if op in ("+", "-", "*", "/") and t.base == "float":
@@ -127,31 +133,32 @@ def apply_binary(op: str, a: V, b: V) -> V:
         aff = combine_affine(op, a, b, t.ncomp)
     else:
         aff = None
+    dep = None if t.is_matrix else union_deps((a, b), max(t.ncomp, 1))
     if op == "+":
-        return V(aa.data + bb.data, t, affine=aff)
+        return V(aa.data + bb.data, t, affine=aff, deps=dep)
     if op == "-":
-        return V(aa.data - bb.data, t, affine=aff)
+        return V(aa.data - bb.data, t, affine=aff, deps=dep)
     if op == "*":
-        return V(aa.data * bb.data, t, affine=aff)
+        return V(aa.data * bb.data, t, affine=aff, deps=dep)
     if op == "/":
         if t.base in ("int", "uint"):
-            return V(trunc_div_int(xp, aa.data, bb.data), t)
-        return V(aa.data / bb.data, t, affine=aff)
+            return V(trunc_div_int(xp, aa.data, bb.data), t, deps=dep)
+        return V(aa.data / bb.data, t, affine=aff, deps=dep)
     if op == "%":
         if t.base in ("int", "uint"):
             q = trunc_div_int(xp, aa.data, bb.data)
-            return V(aa.data - q * bb.data, t)
-        return V(aa.data - bb.data * xp.floor(aa.data / bb.data), t)
+            return V(aa.data - q * bb.data, t, deps=dep)
+        return V(aa.data - bb.data * xp.floor(aa.data / bb.data), t, deps=dep)
     if op == "&":
-        return V(aa.data & bb.data, t)
+        return V(aa.data & bb.data, t, deps=dep)
     if op == "|":
-        return V(aa.data | bb.data, t)
+        return V(aa.data | bb.data, t, deps=dep)
     if op == "^":
-        return V(aa.data ^ bb.data, t)
+        return V(aa.data ^ bb.data, t, deps=dep)
     if op == "<<":
-        return V(aa.data << bb.data, t)
+        return V(aa.data << bb.data, t, deps=dep)
     if op == ">>":
-        return V(aa.data >> bb.data, t)
+        return V(aa.data >> bb.data, t, deps=dep)
     raise GlslEvalError(f"unknown binary op {op!r}")
 
 
@@ -163,13 +170,13 @@ def apply_unary(op: str, a: V) -> V:
             if a.affine is not None and a.type.base == "float"
             else None
         )
-        return V(-a.data, a.type, affine=aff)
+        return V(-a.data, a.type, affine=aff, deps=a.deps)
     if op == "+":
         return a
     if op == "!":
-        return V(xp.logical_not(a.astype("bool").data), a.type.with_base("bool"))
+        return V(xp.logical_not(a.astype("bool").data), a.type.with_base("bool"), deps=a.deps)
     if op == "~":
-        return V(~a.data, a.type)
+        return V(~a.data, a.type, deps=a.deps)
     raise GlslEvalError(f"unknown unary op {op!r}")
 
 
@@ -223,16 +230,20 @@ def _reduce_last(v: V, fn_name: str) -> tuple:
 def _b_dot(a: V, b: V) -> V:
     aa, bb, t = align_pair(a.astype("float"), b.astype("float"))
     xp = _xp(aa.data, bb.data)
+    d = union_all_deps((a, b))
+    dep = (d,) if d is not None else None
     if t.is_scalar:
-        return V(aa.data * bb.data, FLOAT)
-    return V(xp.sum(aa.data * bb.data, axis=-1), FLOAT)
+        return V(aa.data * bb.data, FLOAT, deps=dep)
+    return V(xp.sum(aa.data * bb.data, axis=-1), FLOAT, deps=dep)
 
 
 def _b_length(a: V) -> V:
     xp, d = _reduce_last(a, "length")
+    u = union_all_deps((a,))
+    dep = (u,) if u is not None else None
     if a.type.is_scalar:
-        return V(xp.abs(d), FLOAT)
-    return V(xp.sqrt(xp.sum(d * d, axis=-1)), FLOAT)
+        return V(xp.abs(d), FLOAT, deps=dep)
+    return V(xp.sqrt(xp.sum(d * d, axis=-1)), FLOAT, deps=dep)
 
 
 def _b_normalize(a: V) -> V:
@@ -240,7 +251,9 @@ def _b_normalize(a: V) -> V:
     if a.type.is_scalar:
         return V(xp.sign(d), FLOAT)
     n = xp.sqrt(xp.sum(d * d, axis=-1, keepdims=True))
-    return V(d / n, a.type.with_base("float"))
+    u = union_all_deps((a,))
+    dep = tuple(u for _ in range(a.type.shape[0])) if u is not None else None
+    return V(d / n, a.type.with_base("float"), deps=dep)
 
 
 def _b_cross(a: V, b: V) -> V:
@@ -285,7 +298,11 @@ def _b_mix(x: V, y: V, a: V) -> V:
     if a.type.base == "bool":
         datas, t = _align_variadic([x.astype("float"), y.astype("float"), a])
         xp = _xp(*datas)
-        return V(xp.where(datas[2], datas[1], datas[0]), t.with_base("float"))
+        return V(
+            xp.where(datas[2], datas[1], datas[0]),
+            t.with_base("float"),
+            deps=union_deps((x, y, a), max(t.ncomp, 1)),
+        )
     return _cw(lambda xp, xd, yd, ad: xd + (yd - xd) * ad, x, y, a, result_base="float")
 
 
@@ -363,24 +380,26 @@ def _relational(fn_name: str):
         aa, bb, t = align_pair(a, b)
         xp = _xp(aa.data, bb.data)
         fn = getattr(xp, fn_name)
-        return V(fn(aa.data, bb.data), t.with_base("bool"))
+        return V(fn(aa.data, bb.data), t.with_base("bool"), deps=union_deps((a, b), max(t.ncomp, 1)))
 
     return impl
 
 
 def _b_any(a: V) -> V:
     xp = _xp(a.data)
-    return V(xp.any(a.data, axis=-1), BOOL)
+    u = union_all_deps((a,))
+    return V(xp.any(a.data, axis=-1), BOOL, deps=(u,) if u is not None else None)
 
 
 def _b_all(a: V) -> V:
     xp = _xp(a.data)
-    return V(xp.all(a.data, axis=-1), BOOL)
+    u = union_all_deps((a,))
+    return V(xp.all(a.data, axis=-1), BOOL, deps=(u,) if u is not None else None)
 
 
 def _b_not(a: V) -> V:
     xp = _xp(a.data)
-    return V(xp.logical_not(a.data), a.type)
+    return V(xp.logical_not(a.data), a.type, deps=a.deps)
 
 
 def _simple(fname):

@@ -48,6 +48,7 @@ from retrocapture_tpu.frontend.values import (
     TYPE_NAMES,
     V,
     affine_of,
+    deps_of,
     align_pair,
     is_concrete,
     swizzle_indices,
@@ -963,29 +964,36 @@ class ShaderEval:
             raise UnsupportedShaderError("vec(mat) constructor")
         comps = []
         comp_affs: list = []
+        comp_deps: list = []
         for a in args:
             if a.type.is_scalar:
                 comps.append(a.astype(t.base).data)
                 fa = affine_of(a, 1) if t.base == "float" else None
                 comp_affs.append(fa[0] if fa else None)
+                da = deps_of(a, 1)
+                comp_deps.append(da[0] if da else None)
             else:
                 d = a.astype(t.base).data
                 fa = affine_of(a, a.type.shape[0]) if t.base == "float" else None
+                da = deps_of(a, a.type.shape[0])
                 for i in range(a.type.shape[0]):
                     comps.append(d[..., i])
                     comp_affs.append(fa[i] if fa else None)
+                    comp_deps.append(da[i] if da else None)
         comps = comps[:n]
         comp_affs = comp_affs[:n]
+        comp_deps = comp_deps[:n]
         if len(comps) < n:
             raise UnsupportedShaderError(
                 f"{type_name} constructor with {len(comps)} components"
             )
         aff = tuple(comp_affs) if all(x is not None for x in comp_affs) else None
+        dep = tuple(comp_deps) if all(x is not None for x in comp_deps) else None
         if all(is_concrete(c) for c in comps):
             comps = np.broadcast_arrays(*[np.asarray(c) for c in comps])
-            return V(np.stack(comps, axis=-1), t, affine=aff)
+            return V(np.stack(comps, axis=-1), t, affine=aff, deps=dep)
         comps = jnp.broadcast_arrays(*[jnp.asarray(c) for c in comps])
-        return V(jnp.stack(comps, axis=-1), t, affine=aff)
+        return V(jnp.stack(comps, axis=-1), t, affine=aff, deps=dep)
 
     def _construct_matrix(self, t: GType, args: list):
         c, r = t.shape
@@ -1151,6 +1159,7 @@ class ShaderEval:
                 uv.data[..., :2] + off.data * texel,
                 GType("float", (2,)),
                 affine=new_aff,
+                deps=uv.deps[:2] if uv.deps and len(uv.deps) >= 2 else None,
             )
 
         # Affine fast path: coords provably separable over the output grid
@@ -1177,6 +1186,34 @@ class ShaderEval:
                     wrap_mode=sampler.wrap_mode,
                 )
                 return V(out, GType("float", (4,)))
+
+        # Separable traced path: axis-dependence metadata proves u varies
+        # only along columns and v only along rows even though the values
+        # are traced (floor/fract/clamp texel sharpening — sharp-bilinear,
+        # pixellate, quilez). Slice representative vectors and lower to
+        # two on-device resampling matmuls instead of the 2-D warp path.
+        dep = deps_of(uv, uv.type.shape[0]) if uv.type.is_vector else None
+        if (
+            dep is not None
+            and len(dep) >= 2
+            and "y" not in dep[0]
+            and "x" not in dep[1]
+            and not sampler.mipmap
+        ):
+            ow, oh = self.ctx.out_size
+            if uv.batch_shape == (oh, ow):
+                from retrocapture_tpu.ops.sampling import sample2d_separable
+
+                d = jnp.asarray(uv.data)
+                out = sample2d_separable(
+                    jnp.asarray(sampler.tex),
+                    d[0, :, 0],
+                    d[:, 0, 1],
+                    filter_linear=sampler.filter_linear,
+                    wrap_mode=sampler.wrap_mode,
+                )
+                res_dep = dep[0] | dep[1]
+                return V(out, GType("float", (4,)), deps=(res_dep,) * 4)
 
         d = uv.data
         if is_concrete(d):

@@ -40,6 +40,64 @@ class GlslEvalError(Exception):
     pass
 
 
+# Axis-dependence constants (see V.deps).
+DEPS_NONE = frozenset()
+DEPS_X = frozenset("x")
+DEPS_Y = frozenset("y")
+DEPS_XY = frozenset("xy")
+
+
+def _deps_from_affine(triple) -> frozenset:
+    a, b, _ = triple
+    d = set()
+    if a != 0.0:
+        d.add("x")
+    if b != 0.0:
+        d.add("y")
+    return frozenset(d)
+
+
+def deps_of(v: "V", ncomp: int):
+    """Per-component axis-dependence sets for ``v`` expanded to ``ncomp``
+    components, or None when unknown. Concrete batch-less values are
+    constants (empty set)."""
+    d = v.deps
+    if d is None:
+        if is_concrete(v.data) and v.batch_shape == ():
+            return tuple(DEPS_NONE for _ in range(ncomp))
+        return None
+    if len(d) == 1 and ncomp > 1:
+        return tuple(d[0] for _ in range(ncomp))
+    if len(d) != ncomp:
+        return None
+    return d
+
+
+def union_deps(values, ncomp: int):
+    """Component-wise union of axis dependences across aligned operands;
+    None if any operand is unknown (conservative)."""
+    out = [DEPS_NONE] * ncomp
+    for v in values:
+        d = deps_of(v, ncomp)
+        if d is None:
+            return None
+        out = [a | b for a, b in zip(out, d)]
+    return tuple(out)
+
+
+def union_all_deps(values):
+    """Single dependence set unioned over every component of every
+    operand (for reductions like dot/length); None if unknown."""
+    out = DEPS_NONE
+    for v in values:
+        d = deps_of(v, max(v.type.ncomp, 1))
+        if d is None:
+            return None
+        for s in d:
+            out = out | s
+    return out
+
+
 @dataclass(frozen=True)
 class GType:
     base: str  # 'float' | 'int' | 'uint' | 'bool'
@@ -125,14 +183,28 @@ class V:
     constructors; ``texture()`` uses it to prove a sample grid is
     separable and lower to the MXU resampling-matmul path even though the
     data itself is a traced array (sampling.py). Any op that cannot
-    preserve it just drops it."""
+    preserve it just drops it.
 
-    __slots__ = ("data", "type", "affine")
+    ``deps`` is weaker axis-dependence metadata: a tuple of per-component
+    frozensets ⊆ {'x', 'y'} stating which output-grid axes the component
+    can vary along. Unlike ``affine`` it survives NON-linear
+    component-wise math (floor, fract, clamp, sin, …), which is exactly
+    what "sharp interpolation" shaders (sharp-bilinear, pixellate,
+    quilez) do to texel coordinates per axis. ``texture()`` uses it to
+    prove a *traced* grid is still separable (u varies only along x, v
+    only along y) and lower to two on-device resampling matmuls instead
+    of the far costlier 2-D warp path. ``None`` means unknown (assume
+    both axes)."""
 
-    def __init__(self, data, type: GType, affine=None):
+    __slots__ = ("data", "type", "affine", "deps")
+
+    def __init__(self, data, type: GType, affine=None, deps=None):
         self.data = data
         self.type = type
         self.affine = affine
+        if deps is None and affine is not None:
+            deps = tuple(_deps_from_affine(t) for t in affine)
+        self.deps = deps
 
     # -- shape helpers --------------------------------------------------
     @property
@@ -151,7 +223,7 @@ class V:
             d = np.trunc(d).astype(dt) if is_concrete(d) else jnp.trunc(d).astype(dt)
         else:
             d = d.astype(dt) if hasattr(d, "astype") else dt(d)
-        return V(d, self.type.with_base(base))
+        return V(d, self.type.with_base(base), deps=self.deps)
 
     def expand_to(self, type_shape: tuple) -> "V":
         """Broadcast a scalar to a vector/matrix shape (GLSL scalar-op-
@@ -169,12 +241,26 @@ class V:
         aff = None
         if self.affine is not None and len(type_shape) == 1:
             aff = tuple(self.affine[0] for _ in range(type_shape[0]))
-        return V(d, GType(self.type.base, type_shape), affine=aff)
+        dep = None
+        if len(type_shape) == 1:
+            dep = deps_of(self, 1)
+            if dep is not None:
+                dep = tuple(dep[0] for _ in range(type_shape[0]))
+        return V(d, GType(self.type.base, type_shape), affine=aff, deps=dep)
 
     def component(self, i: int) -> "V":
         if self.type.is_scalar:
             raise GlslEvalError("component of scalar")
-        return V(self.data[..., i], GType(self.type.base, self.type.shape[1:]) if self.type.is_matrix else GType(self.type.base, ()))
+        dep = None
+        if not self.type.is_matrix:
+            d = deps_of(self, self.type.shape[0])
+            if d is not None:
+                dep = (d[i],)
+        return V(
+            self.data[..., i],
+            GType(self.type.base, self.type.shape[1:]) if self.type.is_matrix else GType(self.type.base, ()),
+            deps=dep,
+        )
 
     def __repr__(self):  # pragma: no cover
         return f"V({self.type.base}{self.type.shape}, batch={self.batch_shape})"
@@ -249,6 +335,7 @@ def swizzle_read(v: V, name: str) -> V:
     if not v.type.is_vector and not v.type.is_scalar:
         raise GlslEvalError(f"swizzle on {v.type}")
     aff = v.affine
+    dep = v.deps
     if v.type.is_scalar:
         # scalar.x / scalar.xx — tolerated by some drivers
         if len(idx) == 1:
@@ -258,13 +345,16 @@ def swizzle_read(v: V, name: str) -> V:
             xp.stack([v.data] * len(idx), axis=-1),
             GType(v.type.base, (len(idx),)),
             affine=tuple(aff[0] for _ in idx) if aff else None,
+            deps=tuple(dep[0] for _ in idx) if dep else None,
         )
     sub_aff = tuple(aff[i] for i in idx) if aff and len(aff) > max(idx) else None
+    dep = deps_of(v, v.type.shape[0])
+    sub_dep = tuple(dep[i] for i in idx) if dep is not None else None
     if len(idx) == 1:
-        return V(v.data[..., idx[0]], GType(v.type.base, ()), affine=sub_aff)
+        return V(v.data[..., idx[0]], GType(v.type.base, ()), affine=sub_aff, deps=sub_dep)
     xp = np if is_concrete(v.data) else jnp
     d = xp.stack([v.data[..., i] for i in idx], axis=-1)
-    return V(d, GType(v.type.base, (len(idx),)), affine=sub_aff)
+    return V(d, GType(v.type.base, (len(idx),)), affine=sub_aff, deps=sub_dep)
 
 
 def swizzle_write(target: V, name: str, value: V) -> V:
@@ -283,6 +373,14 @@ def swizzle_write(target: V, name: str, value: V) -> V:
             for j, i in enumerate(idx):
                 merged[i] = v_aff[j if not value.type.is_scalar else 0]
             new_affine = tuple(merged)
+    new_deps = None
+    t_dep = deps_of(target, target.type.shape[0])
+    v_dep = deps_of(value, len(idx) if not value.type.is_scalar else 1)
+    if t_dep is not None and v_dep is not None:
+        md = list(t_dep)
+        for j, i in enumerate(idx):
+            md[i] = v_dep[j if not value.type.is_scalar else 0]
+        new_deps = tuple(md)
     data = target.data
     val = value.data
     if len(idx) == 1:
@@ -300,14 +398,14 @@ def swizzle_write(target: V, name: str, value: V) -> V:
             out = np.broadcast_to(out, b.shape + (out.shape[-1],)).copy()
         for i, c in zip(idx, comps):
             out[..., i] = c
-        return V(out, target.type, affine=new_affine)
+        return V(out, target.type, affine=new_affine, deps=new_deps)
     data = jnp.asarray(data)
     n = target.type.shape[0]
     cols = [data[..., i] for i in range(n)]
     for i, c in zip(idx, comps):
         cols[i] = c
     cols = jnp.broadcast_arrays(*cols)
-    return V(jnp.stack(cols, axis=-1), target.type, affine=new_affine)
+    return V(jnp.stack(cols, axis=-1), target.type, affine=new_affine, deps=new_deps)
 
 
 # ---------------------------------------------------------------------------

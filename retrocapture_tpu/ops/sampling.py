@@ -28,7 +28,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["sample2d", "sample2d_affine", "sample2d_affine_mip", "sample2d_lod", "WRAP_MODES"]
+__all__ = [
+    "sample2d",
+    "sample2d_affine",
+    "sample2d_affine_mip",
+    "sample2d_lod",
+    "sample2d_separable",
+    "WRAP_MODES",
+]
 
 WRAP_MODES = ("clamp_to_edge", "clamp_to_border", "repeat", "mirrored_repeat")
 
@@ -244,7 +251,84 @@ def sample2d_affine(
     ).astype(tex.dtype)
 
 
+def _axis_matrix_traced(coord, n: int, filter_linear: bool, wrap: str):
+    """On-device [m, n] resampling matrix for one axis from a *traced*
+    coordinate vector: one-hot rows (NEAREST) or two-hot lerp rows
+    (LINEAR), border taps zeroed. The device build is a few VPU compares
+    over m*n elements — microseconds — and the sample becomes two MXU
+    matmuls, so shaders whose per-axis texel math is non-affine
+    (floor/fract/clamp sharpening) still avoid the 2-D warp path."""
+    coord = jnp.asarray(coord, jnp.float32)
+    iw = jnp.arange(n, dtype=jnp.int32)[None, :]
+    if not filter_linear:
+        idx = jnp.floor(coord * n).astype(jnp.int32)
+        idx, valid = _wrap_index(idx, n, wrap)
+        a = (iw == idx[:, None]).astype(jnp.float32)
+        if valid is not None:
+            a = a * valid[:, None]
+        return a
+    x = coord * n - 0.5
+    x0f = jnp.floor(x)
+    fx = (x - x0f).astype(jnp.float32)
+    x0 = x0f.astype(jnp.int32)
+    i0, v0 = _wrap_index(x0, n, wrap)
+    i1, v1 = _wrap_index(x0 + 1, n, wrap)
+    w0 = 1.0 - fx
+    w1 = fx
+    if v0 is not None:
+        w0 = w0 * v0
+    if v1 is not None:
+        w1 = w1 * v1
+    return (iw == i0[:, None]) * w0[:, None] + (iw == i1[:, None]) * w1[:, None]
+
+
+def sample2d_separable(
+    tex: jax.Array,
+    u_row,
+    v_col,
+    *,
+    filter_linear: bool,
+    wrap_mode: str = "clamp_to_edge",
+) -> jax.Array:
+    """Sample ``tex [H, W, C]`` over a separable output grid given as
+    per-axis coordinate vectors ``u_row [ow]`` / ``v_col [oh]`` (traced or
+    concrete). Lowers to two resampling matmuls on the MXU — the traced
+    analog of ``sample2d_affine``; all four wrap modes are exact (a
+    mirrored/repeat boundary where both taps wrap to the same texel sums
+    the lerp weights, which is what GL samples too)."""
+    if wrap_mode not in WRAP_MODES:
+        wrap_mode = "clamp_to_edge"
+    h, w, _ = tex.shape
+    ax = _axis_matrix_traced(u_row, w, filter_linear, wrap_mode)
+    ay = _axis_matrix_traced(v_col, h, filter_linear, wrap_mode)
+    th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32
+    ).astype(tex.dtype)
+
+
 _BAND_CHUNK_ROWS = 8
+
+
+def _wrap_taps(x0, fx, n: int, mode: str, dtype):
+    """Taps (idx0, w0), (idx1, w1) for one axis of a [possibly traced]
+    coordinate: wrapped integer indices in [0, n) and lerp weights (border
+    taps weighted 0). For NEAREST callers pass fx=None → single tap."""
+    if fx is None:
+        i0, v0 = _wrap_index(x0, n, mode)
+        w0 = jnp.ones(x0.shape, jnp.float32)
+        if v0 is not None:
+            w0 = w0 * v0
+        return ((i0, w0),)
+    i0, v0 = _wrap_index(x0, n, mode)
+    i1, v1 = _wrap_index(x0 + 1, n, mode)
+    w0 = (1.0 - fx).astype(dtype)
+    w1 = fx.astype(dtype)
+    if v0 is not None:
+        w0 = w0 * v0
+    if v1 is not None:
+        w1 = w1 * v1
+    return ((i0, w0), (i1, w1))
 
 
 def _sample2d_banded(
@@ -255,15 +339,17 @@ def _sample2d_banded(
     filter_linear: bool,
     wrap_mode: str,
 ) -> jax.Array:
-    """Warped sampling over a 2D output grid WITHOUT gathers.
+    """Warped sampling over a 2D output grid WITHOUT gathers — exact for
+    ALL wrap modes and arbitrary warps.
 
     TPU gathers run at ~10⁸ elements/s (a 1080p bilinear sample costs
-    ~47 ms); this formulation is gather-free and ~40x faster: output rows
-    are processed in chunks, each chunk dynamic-slices a narrow band of
-    source rows (warps are vertically smooth), the x-taps become a 2-hot
-    weight matrix contracted on the MXU, and the y-taps a K-row one-hot
-    blend. Exact for clamp_to_edge/clamp_to_border (verified against the
-    NumPy oracle); repeat wraps fall back to the gather path.
+    ~47 ms); this formulation is gather-free: output rows are processed
+    in chunks; each chunk walks the row range its (wrapped) y-taps
+    actually need in KB-row sub-bands via a dynamic while loop — smooth
+    warps take exactly one iteration, violent ones take more but stay
+    correct (each tap contributes once, gated by an in-band mask). The
+    x-taps become a 2-hot weight matrix contracted on the MXU, the
+    y-taps a KB-row one-hot blend.
 
     u, v: [HO, WO] (traced or concrete). Returns [HO, WO, C].
     """
@@ -271,10 +357,9 @@ def _sample2d_banded(
     ho, wo = u.shape
     r = _BAND_CHUNK_ROWS
     hop = ((ho + r - 1) // r) * r
-    # Band height: chunk descent + generous bend margin. Warps bending
-    # more than this within one chunk degrade gracefully (rows clamp to
-    # the band edge) rather than producing garbage.
-    k = min(h, int(np.ceil(r * h / max(ho, 1))) + max(8, h // 16))
+    # Sub-band height: chunk descent + a bend margin; the while loop
+    # covers any additional spread exactly.
+    kb = min(h, int(np.ceil(r * h / max(ho, 1))) + max(8, h // 16))
 
     u = jnp.asarray(u, jnp.float32)
     v = jnp.asarray(v, jnp.float32)
@@ -282,73 +367,61 @@ def _sample2d_banded(
         u = jnp.pad(u, ((0, hop - ho), (0, 0)), mode="edge")
         v = jnp.pad(v, ((0, hop - ho), (0, 0)), mode="edge")
 
-    xx = u * w - 0.5 if filter_linear else jnp.floor(u * w)
     if filter_linear:
+        xx = u * w - 0.5
         x0f = jnp.floor(xx)
         fx = xx - x0f
         x0 = x0f.astype(jnp.int32)
-    else:
-        x0 = xx.astype(jnp.int32)
-        fx = jnp.zeros_like(xx)
-    yy = v * h - 0.5 if filter_linear else jnp.floor(v * h)
-    if filter_linear:
+        yy = v * h - 0.5
         y0f = jnp.floor(yy)
         fy = yy - y0f
         y0 = y0f.astype(jnp.int32)
     else:
-        y0 = yy.astype(jnp.int32)
-        fy = jnp.zeros_like(yy)
+        x0 = jnp.floor(u * w).astype(jnp.int32)
+        y0 = jnp.floor(v * h).astype(jnp.int32)
+        fx = fy = None
 
-    border = wrap_mode == "clamp_to_border"
     iw = jnp.arange(w)[None, None, :]
 
-    def wrapx(i):
-        valid = (i >= 0) & (i < w) if border else None
-        return jnp.clip(i, 0, w - 1), valid
-
-    def wrapy(i):
-        valid = (i >= 0) & (i < h) if border else None
-        return jnp.clip(i, 0, h - 1), valid
-
     def chunk(ci):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * r, r, 0)  # noqa: E731
-        cx0, cfx, cy0, cfy = sl(x0), sl(fx), sl(y0), sl(fy)
-        ty0, vy0 = wrapy(cy0)
-        ty1, vy1 = wrapy(cy0 + 1)
-        start = jnp.clip(jnp.min(ty0), 0, max(h - k, 0))
-        band = jax.lax.dynamic_slice(tex, (start, 0, 0), (k, w, c))
-        ly0 = jnp.clip(ty0 - start, 0, k - 1)
-        ly1 = jnp.clip(ty1 - start, 0, k - 1)
-        tx0, vx0 = wrapx(cx0)
-        tx1, vx1 = wrapx(cx0 + 1)
-        if filter_linear:
-            w0 = 1.0 - cfx
-            w1 = cfx
-            if border:
-                w0 = w0 * vx0
-                w1 = w1 * vx1
-            xw = (iw == tx0[..., None]) * w0[..., None] + (
-                iw == tx1[..., None]
-            ) * w1[..., None]
-        else:
-            xw = (iw == tx0[..., None]).astype(tex.dtype)
-            if border:
-                xw = xw * vx0[..., None]
-        rowsamp = jnp.einsum(
-            "rxw,kwc->rxkc", xw.astype(tex.dtype), band,
-            preferred_element_type=jnp.float32,
+        sl = lambda a: (  # noqa: E731
+            None if a is None else jax.lax.dynamic_slice_in_dim(a, ci * r, r, 0)
         )
-        oh0 = jax.nn.one_hot(ly0, k, dtype=tex.dtype)
-        if border:
-            oh0 = oh0 * vy0[..., None]
-        v0 = jnp.einsum("rxk,rxkc->rxc", oh0, rowsamp)
-        if not filter_linear:
-            return v0
-        oh1 = jax.nn.one_hot(ly1, k, dtype=tex.dtype)
-        if border:
-            oh1 = oh1 * vy1[..., None]
-        v1 = jnp.einsum("rxk,rxkc->rxc", oh1, rowsamp)
-        return v0 + (v1 - v0) * cfy[..., None]
+        xtaps = _wrap_taps(sl(x0), sl(fx), w, wrap_mode, tex.dtype)
+        ytaps = _wrap_taps(sl(y0), sl(fy), h, wrap_mode, tex.dtype)
+
+        xw = jnp.zeros((r, wo, w), tex.dtype)
+        for ti, twt in xtaps:
+            xw = xw + (iw == ti[..., None]) * twt[..., None]
+        rowsamp_fn = lambda band: jnp.einsum(  # noqa: E731
+            "rxw,kwc->rxkc", xw, band, preferred_element_type=jnp.float32
+        )
+
+        ylo = jnp.minimum(*(jnp.min(t) for t, _ in ytaps)) if len(ytaps) > 1 else jnp.min(ytaps[0][0])
+        yhi = jnp.maximum(*(jnp.max(t) for t, _ in ytaps)) if len(ytaps) > 1 else jnp.max(ytaps[0][0])
+        n_sub = (yhi - ylo + kb) // kb  # ceil((yhi - ylo + 1) / kb)
+
+        def body(carry):
+            i, acc = carry
+            lo = ylo + i * kb
+            start = jnp.clip(lo, 0, max(h - kb, 0))
+            band = jax.lax.dynamic_slice(tex, (start, 0, 0), (kb, w, c))
+            rowsamp = rowsamp_fn(band)
+            for ti, twt in ytaps:
+                # in-band mask: each tap row contributes exactly once
+                inb = (ti >= lo) & (ti < lo + kb)
+                ly = jnp.clip(ti - start, 0, kb - 1)
+                oh = jax.nn.one_hot(ly, kb, dtype=tex.dtype) * (
+                    twt * inb
+                )[..., None]
+                acc = acc + jnp.einsum("rxk,rxkc->rxc", oh, rowsamp)
+            return (i + 1, acc)
+
+        acc0 = jnp.zeros((r, wo, c), jnp.float32)
+        _, acc = jax.lax.while_loop(
+            lambda carry: carry[0] < n_sub, body, (jnp.int32(0), acc0)
+        )
+        return acc.astype(tex.dtype)
 
     outs = jax.lax.map(chunk, jnp.arange(hop // r))
     outs = outs.reshape(hop, wo, c)
@@ -386,18 +459,29 @@ def sample2d(
             return jnp.einsum(
                 "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32
             ).astype(tex.dtype)
-    # Warped 2D grids: the gather-free banded path (TPU gathers are ~40x
-    # slower than its MXU contractions and it is oracle-exact for the
-    # clamp wraps).
-    if (
-        np.ndim(u) == 2
-        and np.shape(u) == np.shape(v)
-        and tex.ndim == 3
-        and wrap_mode in ("clamp_to_edge", "clamp_to_border")
-    ):
-        return _sample2d_banded(
-            tex, u, v, filter_linear=filter_linear, wrap_mode=wrap_mode
-        )
+    # Warped 2D grids: gather-free paths on TPU (its gathers are ~40x
+    # slower than the MXU contractions; both paths are exact for every
+    # wrap mode and arbitrary warps). The Pallas kernel keeps the tap
+    # weights in VMEM; big textures take the XLA banded formulation.
+    # CPU keeps the plain XLA gather below — natively fast there.
+    if np.ndim(u) == 2 and np.shape(u) == np.shape(v) and tex.ndim == 3:
+        try:
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:  # noqa: BLE001
+            on_tpu = False
+        if on_tpu:
+            from retrocapture_tpu.ops.pallas.warp_sample import (
+                warp_sample_available,
+                warp_sample_pallas,
+            )
+
+            if warp_sample_available(tex, np.shape(u)):
+                return warp_sample_pallas(
+                    tex, u, v, filter_linear=filter_linear, wrap_mode=wrap_mode
+                )
+            return _sample2d_banded(
+                tex, u, v, filter_linear=filter_linear, wrap_mode=wrap_mode
+            )
 
     u = jnp.asarray(u, jnp.float32)
     v = jnp.asarray(v, jnp.float32)

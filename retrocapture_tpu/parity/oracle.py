@@ -148,10 +148,11 @@ class OracleEngine:
             preset = Preset.load(path)
         self._program = compile_preset(preset)
         self._sources = []
-        for cfg in preset.passes:
+        for i, cfg in enumerate(preset.passes):
             src = Path(cfg.shader_path).read_text(encoding="utf-8", errors="replace")
             vs, _ = preprocess(src, "vertex", filename=cfg.shader_path)
             fs, _ = preprocess(src, "fragment", filename=cfg.shader_path)
+            vs = self._zero_init_varyings(vs, self._program.passes[i])
             # The real GLSL compiler needs the #version line our parser
             # strips; compatibility profile accepts both legacy and 330
             # constructs in one context.
@@ -159,6 +160,42 @@ class OracleEngine:
             self._sources.append((pre + vs, pre + fs))
         self.reset_state()
         return True
+
+    @staticmethod
+    def _zero_init_varyings(vs: str, cp) -> str:
+        """Write zeros to every declared varying at vertex main entry.
+
+        GLSL leaves never-written varyings UNDEFINED; llvmpipe hands the
+        fragment garbage while most desktop drivers hand it zeros.
+        crt-royale's mask-resize vertex shadows its ``tile_uv_wrap``
+        varying with a local const, so the varying is never written and
+        the whole mask pipeline black-screens on llvmpipe. The engine's
+        evaluator (like RetroArch in practice) reads such varyings as 0
+        — pin the oracle to the same defined behavior. Properly written
+        shaders just overwrite the zeros."""
+        import re
+
+        from retrocapture_tpu.frontend.values import TYPE_NAMES
+
+        inits = []
+        for g in cp.vertex_eval.tu.globals():
+            if not g.type.is_varying_out:
+                continue
+            t = g.type.name
+            if TYPE_NAMES.get(t) is None:
+                continue
+            for d in g.declarators:
+                if d.array_size is None:
+                    inits.append(f"    {d.name} = {t}(0);")
+        if not inits:
+            return vs
+        block = "\n" + "\n".join(inits) + "\n"
+        return re.sub(
+            r"void\s+main\s*\(\s*(void)?\s*\)\s*\{",
+            lambda m: m.group(0) + block,
+            vs,
+            count=1,
+        )
 
     def set_parameter(self, name: str, value: float) -> bool:
         if self._program is None or name not in self._program.parameters:

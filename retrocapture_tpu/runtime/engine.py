@@ -94,6 +94,9 @@ class Engine:
         self._mesh = mesh  # jax.sharding.Mesh: batch over 'data' axis
         self._spatial = spatial  # additionally shard W over 'space'
         self._max_resolution: Optional[tuple[int, int]] = None
+        self._param_mode = "const"  # "const" | "traced"
+        self._param_const_fallback = False  # traced lowering failed once
+        self._input_format = "rgb"  # rgb | nv12 | yuyv | uyvy
         self._lowering_failed = False
         self.shader_active = False
         self.last_error: Optional[str] = None
@@ -107,6 +110,7 @@ class Engine:
         self._states.clear()
         self._custom_params.clear()
         self._lowering_failed = False
+        self._param_const_fallback = False
         try:
             if str(path).endswith(".glsl"):
                 preset = Preset.loads(f"shaders = 1\nshader0 = {path}\n", path=str(path))
@@ -162,8 +166,34 @@ class Engine:
         meta = self._program.parameters[name]
         value = float(np.clip(value, meta.minimum, meta.maximum))
         self._custom_params[name] = value
-        self._jit_cache.clear()  # params are trace-time constants
+        if self._effective_param_mode() == "const":
+            self._jit_cache.clear()  # params are trace-time constants
         return True
+
+    def set_param_mode(self, mode: str) -> None:
+        """'const' (default): parameters fold at trace time for maximum
+        steady-state throughput; changing one recompiles. 'traced':
+        parameters are device scalars fed per call — set_parameter applies
+        on the next frame with zero recompiles, matching the reference's
+        glUniform semantics (ShaderEngine.cpp:3353, :2216-2256).
+        Parameter-dependent sampling grids then take the traced-warp
+        paths instead of const-folding; if a shader needs a parameter to
+        be concrete (loop bound, array size), the engine falls back to
+        const mode for that preset automatically."""
+        assert mode in ("const", "traced"), mode
+        if mode != self._param_mode:
+            self._param_mode = mode
+            self._jit_cache.clear()
+
+    def _effective_param_mode(self) -> str:
+        if self._param_mode == "traced" and not self._param_const_fallback:
+            return "traced"
+        return "const"
+
+    def _param_values(self) -> dict:
+        params = dict(self._program.defaults)
+        params.update(self._custom_params)
+        return {k: jnp.float32(v) for k, v in params.items()}
 
     def get_parameter(self, name: str) -> Optional[float]:
         if self._program is None:
@@ -171,6 +201,44 @@ class Engine:
         if name in self._custom_params:
             return self._custom_params[name]
         return self._program.defaults.get(name)
+
+    def set_input_format(self, fmt: str) -> None:
+        """Raw capture pixel format: 'rgb' (default, [H,W,3] u8/float),
+        'nv12' (packed planes [H*3/2, W] u8), 'yuyv'/'uyvy' ([H, W*2]
+        u8). Non-RGB formats are converted to RGB *inside* the chain's
+        jit — one XLA program does convert → chain → blit, the fused
+        replacement for FrameProcessor + sws_scale
+        (processing/FrameProcessor.cpp:149-179, SURVEY.md §7 step 6)."""
+        assert fmt in ("rgb", "nv12", "yuyv", "uyvy"), fmt
+        if fmt != self._input_format:
+            self._input_format = fmt
+            self._jit_cache.clear()
+
+    def _packed_hw(self, ph: int, pw: int) -> tuple[int, int]:
+        """Logical (h, w) from a packed raw plane shape."""
+        fmt = self._input_format
+        if fmt == "nv12":
+            return (ph * 2) // 3, pw
+        if fmt in ("yuyv", "uyvy"):
+            return ph, pw // 2
+        return ph, pw
+
+    def _convert_packed(self, raw_b):
+        """Packed u8 batch → float RGB [B, H, W, 3] (traceable)."""
+        from retrocapture_tpu.ops import colorspace as cs
+
+        fmt = self._input_format
+        ph, pw = raw_b.shape[1], raw_b.shape[2]
+        h, w = self._packed_hw(ph, pw)
+        if fmt == "nv12":
+            y = raw_b[:, :h, :]
+            uv = raw_b[:, h:, :]
+            return cs.nv12_to_rgb(y, uv, w, h)
+        if fmt == "yuyv":
+            return cs.yuyv_to_rgb(raw_b, w, h)
+        if fmt == "uyvy":
+            return cs.uyvy_to_rgb(raw_b, w, h)
+        return raw_b
 
     def set_viewport(self, width: int, height: int) -> None:
         self._viewport = (int(width), int(height))
@@ -245,16 +313,22 @@ class Engine:
         [vh,vw,3] or [B,vh,vw,3]. Batches of temporal presets run as a
         sequential scan; stateless presets vmap."""
         arr = jnp.asarray(frames)
-        if arr.ndim == 5:
+        packed = self._input_format != "rgb"
+        if not packed and arr.ndim == 5:
             return self.apply_streams(arr)
-        batched = arr.ndim == 4
+        batched = arr.ndim == (3 if packed else 4)
         if not batched:
             arr = arr[None]
-        b, h, w = arr.shape[0], arr.shape[1], arr.shape[2]
+        if packed:
+            h, w = self._packed_hw(arr.shape[1], arr.shape[2])
+        else:
+            h, w = arr.shape[1], arr.shape[2]
         vw, vh = self._viewport or (w, h)
 
         if self._program is None or self._lowering_failed:
-            src = self._to_rgba_float(arr)
+            src = self._to_rgba_float(
+                self._convert_packed(arr) if packed else arr
+            )
             out = self._passthrough(src, vw, vh)[..., :3]
             return out if batched else out[0]
 
@@ -269,8 +343,18 @@ class Engine:
                 from retrocapture_tpu.parallel.mesh import shard_frames
 
                 arr = shard_frames(arr, self._mesh, spatial=self._spatial)
-            out, new_state = fn(arr, state)
+            if self._effective_param_mode() == "traced":
+                out, new_state = fn(arr, state, self._param_values())
+            else:
+                out, new_state = fn(arr, state)
         except (GlslEvalError, ValueError, IndexError, TypeError) as e:
+            if self._effective_param_mode() == "traced":
+                # The shader needs a concrete parameter (loop bound,
+                # array size, const-folded grid) — retry in const mode.
+                log.warning("traced params unsupported here, const fallback: %s", e)
+                self._param_const_fallback = True
+                self._jit_cache.clear()
+                return self.apply(frames)
             # A pass failed to lower — the reference's GL compile would
             # have failed too; degrade to passthrough but KEEP the
             # extracted parameter metadata (ShaderEngine.cpp:294-314).
@@ -304,7 +388,7 @@ class Engine:
             return out.reshape((s, t) + out.shape[1:])
         src = arr  # normalization happens inside the inner jit
 
-        key = (h, w, vw, vh, s)
+        key = (h, w, vw, vh, s, self._effective_param_mode())
         state = self._states.get(key)
         if state is None:
             proto = self._get_state((h, w, vw, vh), jnp.float32)
@@ -312,12 +396,20 @@ class Engine:
                 lambda x: jnp.broadcast_to(x, (s,) + jnp.shape(x)), proto
             )
             self._states[key] = state
+        traced = self._effective_param_mode() == "traced"
         fn = self._jit_cache.get(key)
         if fn is None:
             inner = self._get_jit((h, w, vw, vh))
 
-            def multi(src_st, st):
-                return jax.vmap(inner)(src_st, st)
+            if traced:
+
+                def multi(src_st, st, pvals):
+                    return jax.vmap(inner, in_axes=(0, 0, None))(src_st, st, pvals)
+
+            else:
+
+                def multi(src_st, st):
+                    return jax.vmap(inner)(src_st, st)
 
             if self._mesh is not None:
                 # Streams shard over 'data'; per-stream temporal state
@@ -339,8 +431,16 @@ class Engine:
                 fn = jax.jit(multi)
             self._jit_cache[key] = fn
         try:
-            out, new_state = fn(src, state)
+            if traced:
+                out, new_state = fn(src, state, self._param_values())
+            else:
+                out, new_state = fn(src, state)
         except (GlslEvalError, ValueError, IndexError, TypeError) as e:
+            if traced:
+                log.warning("traced params unsupported here, const fallback: %s", e)
+                self._param_const_fallback = True
+                self._jit_cache.clear()
+                return self.apply_streams(arr)
             # Same degrade-to-passthrough path as apply()
             # (ShaderEngine.cpp:294-314).
             log.warning("shader lowering failed, passthrough: %s", e)
@@ -374,7 +474,10 @@ class Engine:
         try:
             state = self._get_state(key, jnp.float32)
             fn = self._get_jit(key, u8=True)
-            out, new_state = fn(arr, state)
+            if self._effective_param_mode() == "traced":
+                out, new_state = fn(arr, state, self._param_values())
+            else:
+                out, new_state = fn(arr, state)
         except (GlslEvalError, ValueError, IndexError, TypeError, NotImplementedError):
             return np.asarray(_quantize_u8(self.apply(frames)))
         self._states[key] = new_state
@@ -452,7 +555,7 @@ class Engine:
         return max((pw // 2) * 2, 2), max((ph // 2) * 2, 2)
 
     def _get_jit(self, key, u8: bool = False):
-        cache_key = (key, u8) if u8 else key
+        cache_key = (key, u8, self._effective_param_mode())
         fn = self._jit_cache.get(cache_key)
         if fn is not None:
             return fn
@@ -462,6 +565,7 @@ class Engine:
         shapes = compute_chain_shapes(
             prog.preset, pw, ph, vw, vh, max_resolution=self._max_resolution
         )
+        traced_params = self._effective_param_mode() == "traced"
         params = dict(prog.defaults)
         params.update(self._custom_params)
         temporal = prog.uses_history() or prog.uses_feedback()
@@ -490,7 +594,7 @@ class Engine:
             ay = _axis_matrix(v_col, sh, True, "clamp_to_edge")
             return jax.vmap(lambda t: resample_u8(t, ay, ax))(outs_b)
 
-        def single(src, history, feedback, frame_count, time, blit=True):
+        def single(src, history, feedback, frame_count, time, pvals=None, blit=True):
             return _run_chain(
                 prog,
                 shapes,
@@ -500,11 +604,13 @@ class Engine:
                 feedback,
                 frame_count,
                 time,
-                params,
+                pvals if pvals is not None else params,
                 blit=blit,
             )
 
         def normalize(raw_b):
+            if self._input_format != "rgb":
+                raw_b = self._convert_packed(raw_b)
             src_b = Engine._to_rgba_float(raw_b)
             if (pw, ph) != (w, h):
                 u, v = _grids(pw, ph)
@@ -515,14 +621,14 @@ class Engine:
 
         if temporal:
 
-            def batch_fn(raw_b, state: _ChainState):
+            def batch_fn(raw_b, state: _ChainState, pvals=None):
                 src_b = normalize(raw_b)
 
                 def step(carry, src):
                     hist, fb, fc, tm = carry
                     # Viewport blit is stateless — hoisted out of the scan
                     # so it runs batched on the MXU instead of per frame.
-                    out, hist, fb = single(src, hist, fb, fc, tm, blit=False)
+                    out, hist, fb = single(src, hist, fb, fc, tm, pvals, blit=False)
                     return (hist, fb, fc + 1, tm + jnp.float32(0.016)), out
 
                 carry0 = (state.history, state.feedback, state.frame_count, state.time)
@@ -533,7 +639,7 @@ class Engine:
 
         else:
 
-            def batch_fn(raw_b, state: _ChainState):
+            def batch_fn(raw_b, state: _ChainState, pvals=None):
                 src_b = normalize(raw_b)
 
                 def one(src):
@@ -543,6 +649,7 @@ class Engine:
                         state.feedback,
                         state.frame_count,
                         state.time,
+                        pvals,
                         blit=False,
                     )
                     return out
@@ -556,6 +663,12 @@ class Engine:
                     state.time + jnp.float32(0.016) * n,
                 )
 
+        if traced_params:
+            inner_fn = batch_fn
+
+            def batch_fn(raw_b, state, pvals):  # noqa: F811
+                return inner_fn(raw_b, state, pvals)
+
         if self._mesh is not None and not temporal and not u8:
             # Data-parallel over the mesh: frames shard over 'data' (and
             # optionally W over 'space'); temporal-state scalars replicate.
@@ -563,11 +676,11 @@ class Engine:
 
             fs = frame_sharding(self._mesh, spatial=self._spatial)
             rep = replicated(self._mesh)
-            fn = jax.jit(
-                batch_fn,
-                in_shardings=(fs, jax.tree.map(lambda _: rep, self._state_proto(key))),
-                out_shardings=(fs, jax.tree.map(lambda _: rep, self._state_proto(key))),
-            )
+            state_sh = jax.tree.map(lambda _: rep, self._state_proto(key))
+            in_sh = (fs, state_sh)
+            if traced_params:
+                in_sh = in_sh + ({k: rep for k in params},)
+            fn = jax.jit(batch_fn, in_shardings=in_sh, out_shardings=(fs, state_sh))
         else:
             fn = jax.jit(batch_fn)
         self._jit_cache[cache_key] = fn
@@ -663,7 +776,10 @@ def _run_chain(
             feedback=fb_bindings,
             frame_count=frame_count,
             frame_time=time,
-            params={k: np.float32(v) for k, v in params.items()},
+            params={
+                k: (np.float32(v) if isinstance(v, (int, float, np.generic)) else v)
+                for k, v in params.items()
+            },
         )
         color = _run_pass(cp, ctx, sh)
         stored = framebuffer_store(
@@ -712,10 +828,23 @@ def _run_pass(cp, ctx: PassContext, sh: PassShapes):
     """One pass: vertex stage over the output grid → varyings; fragment
     stage → [oh, ow, 4] color.
 
+    Benchmark-family fragments with a kernel-library entry
+    (graph/kernels.py — shared-band Pallas multi-tap gathers + fused
+    epilogue) take that path on TPU; the evaluator below is the general
+    path and the semantic reference.
+
     The pixel grids are seeded as *traced* iota-derived arrays carrying
     affine metadata (values.py): coordinate math stays O(1) at trace time
     and stays out of the HLO as constants; separable taps lower to MXU
     matmuls via the metadata, warped taps to on-device gathers."""
+    from retrocapture_tpu.graph.kernels import find_kernel
+
+    hand = find_kernel(ctx.program.preset.passes[cp.index].shader_path)
+    if hand is not None:
+        out = hand(ctx, sh)
+        if out is not None:
+            return out
+
     ow, oh = sh.out_w, sh.out_h
     xg = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)  # column index
     yg = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)  # row index

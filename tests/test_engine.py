@@ -264,3 +264,63 @@ def test_state_checkpoint_resume(tmp_path):
     e2.load_state(str(ckpt))
     cont_b = np.asarray(e2.apply(white))
     np.testing.assert_allclose(cont_a, cont_b, atol=1e-7)
+
+
+def test_traced_param_mode_no_recompile():
+    """set_param_mode('traced'): parameter changes apply without
+    invalidating the jit cache and match const-mode output exactly
+    (glUniform semantics, ShaderEngine.cpp:3353)."""
+    import numpy as np
+
+    from retrocapture_tpu.runtime.engine import Engine
+
+    rng = np.random.default_rng(0)
+    frame = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    preset = "/root/reference/shaders/shaders_glsl/crt/crt-mattias.glslp"
+    e = Engine(viewport=(64, 48))
+    assert e.load_preset(preset)
+    e.set_param_mode("traced")
+    out1 = np.asarray(e.apply(frame))
+    n_cached = len(e._jit_cache)
+    assert e.set_parameter("CURVATURE", 0.0)
+    out2 = np.asarray(e.apply(frame))
+    assert len(e._jit_cache) == n_cached, "param change recompiled"
+    assert np.abs(out1 - out2).mean() > 1e-3, "parameter had no effect"
+    # parity with const mode
+    e2 = Engine(viewport=(64, 48))
+    e2.load_preset(preset)
+    np.testing.assert_allclose(out1, np.asarray(e2.apply(frame)), atol=1e-6)
+
+
+def test_fused_input_formats():
+    """nv12/yuyv packed inputs convert inside the chain's jit and match
+    the eager converters bit-for-bit."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from retrocapture_tpu.ops import colorspace as cs
+    from retrocapture_tpu.runtime.engine import Engine
+
+    rng = np.random.default_rng(1)
+    h, w = 24, 32
+    stock = "/root/reference/shaders/shaders_glsl/stock.glsl"
+
+    nv12 = (rng.random((2, h + h // 2, w)) * 255).astype(np.uint8)
+    e = Engine(viewport=(w, h))
+    assert e.load_preset(stock)
+    e.set_input_format("nv12")
+    out = np.asarray(e.apply(nv12))
+    want = np.asarray(
+        cs.nv12_to_rgb(jnp.asarray(nv12[:, :h, :]), jnp.asarray(nv12[:, h:, :]), w, h)
+    )
+    want = np.round(np.clip(want, 0, 1) * 255) / 255  # RGBA8 store
+    np.testing.assert_allclose(out, want, atol=1.0 / 255.0 + 1e-6)
+
+    yuyv = (rng.random((2, h, w * 2)) * 255).astype(np.uint8)
+    e2 = Engine(viewport=(w, h))
+    assert e2.load_preset(stock)
+    e2.set_input_format("yuyv")
+    out2 = np.asarray(e2.apply(yuyv))
+    want2 = np.asarray(cs.yuyv_to_rgb(jnp.asarray(yuyv), w, h))
+    want2 = np.round(np.clip(want2, 0, 1) * 255) / 255
+    np.testing.assert_allclose(out2, want2, atol=1.0 / 255.0 + 1e-6)

@@ -121,3 +121,125 @@ def test_pallas_resample_u8_fallback_matches_einsum():
     b = np.asarray(_einsum_fallback(tex, jnp.asarray(ay), jnp.asarray(ax)))
     assert a.dtype == np.uint8
     np.testing.assert_array_equal(a, b)
+
+
+def test_separable_traced_matches_oracle_all_modes():
+    """sample2d_separable (traced per-axis vectors -> on-device matmuls)
+    matches the NumPy GL oracle for every (filter, wrap) combination,
+    including out-of-range coords."""
+    import jax.numpy as jnp
+
+    from retrocapture_tpu.ops.sampling import sample2d_separable
+
+    rng = np.random.default_rng(7)
+    tex = rng.random((11, 13, 4)).astype(np.float32)
+    u_row = (rng.random(17).astype(np.float32) * 2.4 - 0.7)
+    v_col = (rng.random(9).astype(np.float32) * 2.4 - 0.7)
+    uu = np.broadcast_to(u_row[None, :], (9, 17))
+    vv = np.broadcast_to(v_col[:, None], (9, 17))
+    for wrap in ("clamp_to_edge", "clamp_to_border", "repeat", "mirrored_repeat"):
+        for lin in (False, True):
+            got = np.asarray(
+                sample2d_separable(
+                    jnp.asarray(tex),
+                    jnp.asarray(u_row),
+                    jnp.asarray(v_col),
+                    filter_linear=lin,
+                    wrap_mode=wrap,
+                )
+            )
+            want = reference_sample2d_numpy(
+                tex, uu, vv, filter_linear=lin, wrap_mode=wrap
+            )
+            np.testing.assert_allclose(got, want, atol=3e-6, err_msg=f"{wrap} lin={lin}")
+
+
+def test_deps_metadata_drives_separable_sampling():
+    """A floor/fract-sharpened tap (non-affine, per-axis) must keep
+    axis-dependence metadata and produce the same pixels as the generic
+    warp path — engine-level guard for the deps fast path."""
+    from retrocapture_tpu.runtime.engine import Engine
+
+    src = """
+#if defined(VERTEX)
+attribute vec4 VertexCoord; attribute vec4 TexCoord; varying vec4 TEX0;
+void main() { gl_Position = VertexCoord; TEX0 = TexCoord; }
+#elif defined(FRAGMENT)
+uniform sampler2D Texture; varying vec4 TEX0;
+uniform vec2 TextureSize;
+void main() {
+    vec2 texel = TEX0.xy * TextureSize;
+    vec2 tf = floor(texel);
+    vec2 s = fract(texel);
+    vec2 f = clamp(s * 2.0 - 0.5, 0.0, 1.0);
+    vec2 mod_texel = tf + f;
+    gl_FragColor = texture2D(Texture, mod_texel / TextureSize);
+}
+#endif
+"""
+    import tempfile, os
+
+    rng = np.random.default_rng(5)
+    frame = (rng.random((24, 32, 3)) * 255).astype(np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "sharp.glsl")
+        open(p, "w").write(src)
+        pp = os.path.join(td, "sharp.glslp")
+        open(pp, "w").write(f"shaders = 1\nshader0 = {p}\nfilter_linear0 = true\n")
+        e = Engine(viewport=(64, 48))
+        assert e.load_preset(pp), e.last_error
+        out = np.asarray(e.apply(frame))
+    # Oracle: same math in NumPy against the reference sampler.
+    u = (np.arange(64, dtype=np.float32) + 0.5) / 64
+    v = (np.arange(48, dtype=np.float32) + 0.5) / 48
+    uu, vv = np.meshgrid(u, v)
+    tx, ty = uu * 32, vv * 24
+    fx = np.floor(tx) + np.clip((tx - np.floor(tx)) * 2 - 0.5, 0, 1)
+    fy = np.floor(ty) + np.clip((ty - np.floor(ty)) * 2 - 0.5, 0, 1)
+    texf = np.concatenate(
+        [frame.astype(np.float32) / 255.0, np.ones((24, 32, 1), np.float32)], -1
+    )
+    want = reference_sample2d_numpy(
+        texf, fx / 32, fy / 24, filter_linear=True, wrap_mode="clamp_to_edge"
+    )
+    # the pass output is stored to an RGBA8 framebuffer like GL; the
+    # matmul two-hot form (w0*a + w1*b) vs the oracle's lerp form can
+    # flip rounding at exact quantization boundaries -> 1 LSB tolerance
+    want = np.round(np.clip(want, 0, 1) * 255.0) / 255.0
+    np.testing.assert_allclose(out, want[..., :3], atol=1.0 / 255.0 + 1e-6)
+
+
+def test_banded_exact_on_violent_warps():
+    """The gather-free banded path (TPU fallback) must be exact for
+    arbitrary warps and all wrap modes — the round-1 version silently
+    clamped rows outside a heuristic band (ADVICE r1, medium)."""
+    import jax.numpy as jnp
+
+    from retrocapture_tpu.ops.sampling import _sample2d_banded
+
+    rng = np.random.default_rng(13)
+    tex = rng.random((24, 33, 4)).astype(np.float32)
+    ho, wo = 37, 61
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, ho), np.linspace(0, 1, wo), indexing="ij"
+    )
+    # strong vertical warp: v varies violently along x (the failing case)
+    u = (xx + 0.35 * np.sin(yy * 9) - 0.2).astype(np.float32)
+    v = (yy * 1.6 - 0.3 + 0.45 * np.cos(xx * 7)).astype(np.float32)
+    for wrap in WRAP_MODES:
+        for lin in (False, True):
+            got = np.asarray(
+                _sample2d_banded(
+                    jnp.asarray(tex),
+                    jnp.asarray(u),
+                    jnp.asarray(v),
+                    filter_linear=lin,
+                    wrap_mode=wrap,
+                )
+            )
+            want = reference_sample2d_numpy(
+                tex, u, v, filter_linear=lin, wrap_mode=wrap
+            )
+            np.testing.assert_allclose(
+                got, want, atol=3e-6, err_msg=f"{wrap} lin={lin}"
+            )

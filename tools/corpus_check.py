@@ -54,7 +54,8 @@ def _worker(task_q, result_q, size):
                     rec["status"] = "flat"
                     rec["mean"] = float(out.mean())
                 else:
-                    rec["status"] = "ok"
+                    rec["status"] = "ok" if e.shader_active else "passthrough"
+                rec["shader_active"] = bool(e.shader_active)
         except Exception as ex:  # noqa: BLE001
             rec["status"] = "apply_fail"
             rec["error"] = f"{type(ex).__name__}: {ex}"
@@ -67,7 +68,7 @@ def main() -> int:
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--filter", default="")
     ap.add_argument("--out", default="corpus_report.json")
-    ap.add_argument("--size", default="48x64", help="HxW of the test frame")
+    ap.add_argument("--size", default="240x320", help="HxW of the test frame")
     ap.add_argument("--timeout", type=float, default=240.0, help="seconds per preset")
     args = ap.parse_args()
 
