@@ -1219,12 +1219,16 @@ class ShaderEval:
         if is_concrete(d):
             d = np.asarray(d, np.float32)
         u, v = d[..., 0], d[..., 1]
+        n_traced = getattr(self.ctx, "warp_taps_traced", 0)
+        if hasattr(self.ctx, "warp_taps_traced") and np.ndim(u) == 2:
+            self.ctx.warp_taps_traced = n_traced + 1
         out = sample2d(
             jnp.asarray(sampler.tex),
             u,
             v,
             filter_linear=sampler.filter_linear,
             wrap_mode=sampler.wrap_mode,
+            prefer_banded=n_traced >= getattr(self.ctx, "max_pallas_taps", 8),
         )
         return V(out, GType("float", (4,)))
 

@@ -109,6 +109,7 @@ class CompiledPass:
     # Names this pass's fragment+vertex reference (for temporal-state
     # detection and binding checks).
     sampler_names: tuple[str, ...]
+    texture_calls: int = 0  # static texture() sites (diagnostic only)
 
 
 @dataclass
@@ -156,12 +157,13 @@ def _compat_rewrites(src: str, shader_path: str, cfg) -> str:
       test (black screen otherwise) — normalize it;
     * interlacing.glsl in a height-scaling pass needs line-replicated
       input coords and output-based interlace parity."""
-    if "box-center.glsl" in shader_path:
+    base = Path(shader_path).name
+    if base == "box-center.glsl":
         pat = "bordertest = gl_FragCoord.xy;"
         src = src.replace(
             pat, pat + "\n   bordertest = bordertest / OutputSize.xy;"
         )
-    if "interlacing.glsl" in shader_path:
+    if base == "interlacing.glsl":
         scales_height = cfg.scale_type_y in ("viewport", "absolute") or (
             cfg.scale_type_y == "source" and cfg.scale_y != 1.0
         )
@@ -202,12 +204,16 @@ def compile_preset(preset: Preset) -> PresetProgram:
             for g in tu.globals():
                 if g.type.name.startswith("sampler"):
                     samplers.extend(d.name for d in g.declarators)
+        n_tex = len(
+            re.findall(r"\b(?:texture2D|texture|texelFetch|textureLod)\s*\(", fsrc)
+        )
         cp = CompiledPass(
             index=i,
             vertex_eval=ShaderEval(vtu, "vertex"),
             fragment_eval=ShaderEval(ftu, "fragment"),
             parameters=fparams,
             sampler_names=tuple(samplers),
+            texture_calls=n_tex,
         )
         passes.append(cp)
         for p in fparams:
@@ -298,6 +304,12 @@ class PassContext:
         sh = shapes[pass_index]
         self.in_size = (sh.in_w, sh.in_h)
         self.out_size = (sh.out_w, sh.out_h)
+        # Warped taps traced so far in this pass: after the first few,
+        # further taps route to the XLA banded sampler — emitting one
+        # Pallas kernel per tap explodes Mosaic compile time on bulk-tap
+        # fragments (crt-mattias unrolls to 225 taps).
+        self.warp_taps_traced = 0
+        self.max_pallas_taps = 8
         self._alias_to_pass = {
             cfg.alias: j
             for j, cfg in enumerate(program.preset.passes)

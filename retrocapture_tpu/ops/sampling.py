@@ -117,6 +117,18 @@ def _axis_matrix(coord: np.ndarray, n: int, filter_linear: bool, wrap: str) -> n
     return a
 
 
+def _axis_matrix_device(coord_np, n: int, filter_linear: bool, wrap: str):
+    """Axis resampling matrix built ON DEVICE from a small concrete
+    coordinate vector. Embedding the [n_out, n] matrix as an HLO literal
+    makes XLA constant-fold transposes/elementwise of it at compile time
+    — single-threaded O(n_out*n) per instruction, observed >2 s each and
+    minutes per chain (the round-1 155 s scanline compile). The
+    optimization_barrier pins the small vector as runtime data so only
+    cheap on-device iota-compares build the matrix."""
+    coord = jax.lax.optimization_barrier(jnp.asarray(coord_np, jnp.float32))
+    return _axis_matrix_traced(coord, n, filter_linear, wrap)
+
+
 def _separable_rows(u: np.ndarray, v: np.ndarray):
     """If u varies only along columns and v only along rows of a 2D grid,
     return (u_row, v_col); else None."""
@@ -243,8 +255,8 @@ def sample2d_affine(
     v_col = (
         np.float64(v_aff[1]) * np.arange(oh, dtype=np.float64) + np.float64(v_aff[2])
     ).astype(np.float32)
-    ax = _axis_matrix(u_row, w, filter_linear, wrap_mode)
-    ay = _axis_matrix(v_col, h, filter_linear, wrap_mode)
+    ax = _axis_matrix_device(u_row, w, filter_linear, wrap_mode)
+    ay = _axis_matrix_device(v_col, h, filter_linear, wrap_mode)
     th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32)
     return jnp.einsum(
         "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32
@@ -357,9 +369,11 @@ def _sample2d_banded(
     ho, wo = u.shape
     r = _BAND_CHUNK_ROWS
     hop = ((ho + r - 1) // r) * r
-    # Sub-band height: chunk descent + a bend margin; the while loop
-    # covers any additional spread exactly.
-    kb = min(h, int(np.ceil(r * h / max(ho, 1))) + max(8, h // 16))
+    # Sub-band height: chunk descent + a small margin. The while loop
+    # covers any additional spread exactly, so the margin is purely a
+    # fast-path size knob: rowsamp traffic scales with kb (the round-1
+    # margin of max(8, h//16) tripled every warped tap's HBM cost).
+    kb = min(h, int(np.ceil(r * h / max(ho, 1))) + 4)
 
     u = jnp.asarray(u, jnp.float32)
     v = jnp.asarray(v, jnp.float32)
@@ -435,6 +449,7 @@ def sample2d(
     *,
     filter_linear: bool,
     wrap_mode: str = "clamp_to_edge",
+    prefer_banded: bool = False,
 ) -> jax.Array:
     """Sample ``tex [H, W, C]`` at normalized coords ``u, v`` (any common
     shape S) with GL semantics. Returns ``[*S, C]`` in ``tex.dtype``.
@@ -450,9 +465,8 @@ def sample2d(
         sep = _separable_rows(np.asarray(u, np.float32), np.asarray(v, np.float32))
         if sep is not None:
             u_row, v_col = sep
-            ax = _axis_matrix(u_row, w, filter_linear, wrap_mode)
-            ay = _axis_matrix(v_col, h, filter_linear, wrap_mode)
-            c = tex.shape[-1]
+            ax = _axis_matrix_device(u_row, w, filter_linear, wrap_mode)
+            ay = _axis_matrix_device(v_col, h, filter_linear, wrap_mode)
             th = jnp.einsum(
                 "hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32
             )
@@ -475,7 +489,7 @@ def sample2d(
                 warp_sample_pallas,
             )
 
-            if warp_sample_available(tex, np.shape(u)):
+            if not prefer_banded and warp_sample_available(tex, np.shape(u)):
                 return warp_sample_pallas(
                     tex, u, v, filter_linear=filter_linear, wrap_mode=wrap_mode
                 )

@@ -585,13 +585,13 @@ class Engine:
             if not needs_blit:
                 return jnp.round(jnp.clip(outs_b, 0.0, 1.0) * 255.0).astype(jnp.uint8)
             from retrocapture_tpu.ops.pallas.resample import resample_u8
-            from retrocapture_tpu.ops.sampling import _axis_matrix
+            from retrocapture_tpu.ops.sampling import _axis_matrix_device
 
             sh, sw = outs_b.shape[1], outs_b.shape[2]
             u_row = ((np.arange(vw) + 0.5) / vw).astype(np.float32)
             v_col = ((np.arange(vh) + 0.5) / vh).astype(np.float32)
-            ax = _axis_matrix(u_row, sw, True, "clamp_to_edge")
-            ay = _axis_matrix(v_col, sh, True, "clamp_to_edge")
+            ax = _axis_matrix_device(u_row, sw, True, "clamp_to_edge")
+            ay = _axis_matrix_device(v_col, sh, True, "clamp_to_edge")
             return jax.vmap(lambda t: resample_u8(t, ay, ax))(outs_b)
 
         def single(src, history, feedback, frame_count, time, pvals=None, blit=True):
