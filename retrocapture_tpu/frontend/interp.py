@@ -1128,6 +1128,10 @@ class ShaderEval:
         # tex2Dlod-era code like crt-royale's mask resizers): a concrete
         # LOD selects box-pyramid levels with a trilinear blend.
         if sampler.mipmap and name in ("textureLod", "texture2DLod") and len(args) >= 3:
+            if getattr(self.ctx, "factored", None) is not None:
+                from retrocapture_tpu.graph.factored import FactoredBailout
+
+                raise FactoredBailout("explicit-LOD mipmap tap")
             lod_v = args[2]
             if is_concrete(lod_v.data) and lod_v.batch_shape == ():
                 from retrocapture_tpu.ops.sampling import sample2d_lod
@@ -1166,6 +1170,7 @@ class ShaderEval:
         # → two small resampling matmuls on the MXU, no per-pixel coord
         # tensors in the graph at all (sampling.sample2d_affine).
         aff = affine_of(uv, uv.type.shape[0]) if uv.type.is_vector else None
+        fac = getattr(self.ctx, "factored", None)
         if (
             aff is not None
             and len(aff) >= 2
@@ -1173,6 +1178,16 @@ class ShaderEval:
             and aff[1][0] == 0.0
         ):
             ow, oh = self.ctx.out_size
+            if fac is not None:
+                from retrocapture_tpu.graph.factored import (
+                    FactoredBailout,
+                    factored_affine_tap,
+                )
+
+                if sampler.mipmap:
+                    raise FactoredBailout("mipmapped affine tap")
+                out = factored_affine_tap(fac, sampler, aff, oh, ow)
+                return V(out, GType("float", (4,)))
             bs = uv.batch_shape
             if bs == (oh, ow):
                 fn = sample2d_affine_mip if sampler.mipmap else sample2d_affine
@@ -1186,6 +1201,12 @@ class ShaderEval:
                     wrap_mode=sampler.wrap_mode,
                 )
                 return V(out, GType("float", (4,)))
+        if fac is not None:
+            # Non-affine tap inside a factored attempt: the phase grid
+            # cannot express data-dependent coordinates — re-run eager.
+            from retrocapture_tpu.graph.factored import FactoredBailout
+
+            raise FactoredBailout("non-affine texture tap")
 
         # Separable traced path: axis-dependence metadata proves u varies
         # only along columns and v only along rows even though the values
@@ -1250,6 +1271,12 @@ class ShaderEval:
             return V(arr, v.type)
         if is_concrete(d):
             return V(np.zeros_like(np.asarray(d)), v.type)
+        if getattr(self.ctx, "factored", None) is not None:
+            # Quad derivatives of traced data need the plain (H, W)
+            # pixel layout.
+            from retrocapture_tpu.graph.factored import FactoredBailout
+
+            raise FactoredBailout("derivative of traced data")
         d = jnp.asarray(d)
         nb = len(v.batch_shape)
         if nb < 2:

@@ -1,0 +1,267 @@
+"""Phase-factored pass evaluation: the TPU-native answer to GL texel
+caching for scaling shaders.
+
+A scaling pass samples its input with NEAREST taps whose texel index is
+constant across each run of output pixels that map to the same source
+texel (xbr-lv2.glsl's 24 neighbour taps, ntsc-pass2's 65-tap FIR under
+the viewport-height stretch, every hqx/scalefx/sabr-family shader). A GL
+GPU re-fetches per output pixel and relies on the texture cache
+(ShaderEngine::renderMultipassPass dispatch, ShaderEngine.cpp:850-1475);
+on TPU re-evaluating tap-derived math at output resolution materializes
+dozens of full-resolution planes through HBM — the round-1 xbr chain
+moved ~1.6 GB/frame for a 320x240 source.
+
+Factored evaluation reshapes the output grid [OH, OW] into
+[my, ry, mx, rx]: axis runs x intra-run phase. Texture taps whose index
+maps are constant within runs become [my, 1, mx, 1] source-resolution
+planes; coordinate/phase math rides the phase axes as [my, ry, 1, 1] /
+[1, 1, mx, rx] broadcasts. NumPy broadcasting keeps every elementwise op
+at the smallest resolution that carries information, and XLA fuses the
+broadcasts — the laziness costs nothing and requires no evaluator
+changes. A final concrete row/column select maps the padded factored
+grid back to [OH, OW] exactly (runs are measured from the same float32
+index math the samplers use, so non-integer ratios like 1080/240 = 4.5
+are handled by ry = 5 with per-run clamping).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Factorization", "plan_factorization", "FactoredBailout"]
+
+
+class FactoredBailout(Exception):
+    """A construct the factored path cannot lower (warped tap,
+    derivative of traced data, …) — the caller re-runs the pass on the
+    plain [OH, OW] grid."""
+
+
+def _axis_runs(n_out: int, n_src: int):
+    """Runs of output pixels sharing a source texel for the identity
+    map, measured with the samplers' own float32 math
+    (ops/sampling._axis_matrix): u = (X + 0.5)/n_out, idx = floor(u*n)."""
+    u = (
+        (np.arange(n_out, dtype=np.float64) + 0.5) / np.float64(n_out)
+    ).astype(np.float32)
+    idx = np.floor(u * np.float32(n_src)).astype(np.int64)
+    change = np.flatnonzero(np.diff(idx)) + 1
+    starts = np.concatenate([[0], change])
+    lens = np.diff(np.concatenate([starts, [n_out]]))
+    return starts.astype(np.int64), lens.astype(np.int64)
+
+
+class Factorization:
+    """Static description of one pass's factored grid."""
+
+    __slots__ = (
+        "oh", "ow", "my", "ry", "mx", "rx",
+        "ystarts", "ylens", "xstarts", "xlens",
+        "yidx", "xidx", "rowsel", "colsel",
+    )
+
+    def __init__(self, oh, ow, ystarts, ylens, xstarts, xlens):
+        self.oh, self.ow = oh, ow
+        self.ystarts, self.ylens = ystarts, ylens
+        self.xstarts, self.xlens = xstarts, xlens
+        self.my, self.ry = len(ystarts), int(ylens.max())
+        self.mx, self.rx = len(xstarts), int(xlens.max())
+        # True output indices per (run, phase); phases beyond a run's
+        # length clamp to its last pixel (those slots are never selected
+        # back, the clamp only keeps the evaluated coordinates valid).
+        self.yidx = np.minimum(
+            ystarts[:, None] + np.arange(self.ry)[None, :],
+            (ystarts + ylens - 1)[:, None],
+        ).astype(np.int64)
+        self.xidx = np.minimum(
+            xstarts[:, None] + np.arange(self.rx)[None, :],
+            (xstarts + xlens - 1)[:, None],
+        ).astype(np.int64)
+        # Inverse: output row Y lives at factored slot (run, Y - start).
+        yrun = np.repeat(np.arange(self.my), ylens)
+        self.rowsel = (yrun * self.ry + (np.arange(oh) - ystarts[yrun])).astype(
+            np.int64
+        )
+        xrun = np.repeat(np.arange(self.mx), xlens)
+        self.colsel = (xrun * self.rx + (np.arange(ow) - xstarts[xrun])).astype(
+            np.int64
+        )
+
+    # -- run-constancy checks for tap index maps ------------------------
+    def x_run_values(self, idx_full: np.ndarray):
+        """Per-run value of a full [OW] index map if it is constant
+        within every x-run, else None."""
+        lo = np.minimum.reduceat(idx_full, self.xstarts)
+        hi = np.maximum.reduceat(idx_full, self.xstarts)
+        return lo if np.array_equal(lo, hi) else None
+
+    def y_run_values(self, idx_full: np.ndarray):
+        lo = np.minimum.reduceat(idx_full, self.ystarts)
+        hi = np.maximum.reduceat(idx_full, self.ystarts)
+        return lo if np.array_equal(lo, hi) else None
+
+    # -- grid seeds ------------------------------------------------------
+    def seed_arrays(self):
+        """(xg, yg) float32 true-pixel-index seeds shaped [1,1,mx,rx] and
+        [my,ry,1,1]. Barriered: embedded constant grids make XLA
+        constant-fold every broadcasted coordinate expression at compile
+        time — single-threaded and O(pixels) per op, the round-1 155 s
+        compile pathology (see _axis_matrix_device)."""
+        xg = jax.lax.optimization_barrier(
+            jnp.asarray(self.xidx.astype(np.float32))
+        ).reshape(1, 1, self.mx, self.rx)
+        yg = jax.lax.optimization_barrier(
+            jnp.asarray(self.yidx.astype(np.float32))
+        ).reshape(self.my, self.ry, 1, 1)
+        return xg, yg
+
+    @property
+    def batch_shape(self):
+        return (self.my, self.ry, self.mx, self.rx)
+
+    # -- factored gathers ------------------------------------------------
+    def take_full(self, tex, iyw: np.ndarray, ixw: np.ndarray):
+        """Materialize a tap at full factored resolution from wrapped
+        per-output index maps ([OH], [OW] np arrays): [my,ry,mx,rx,C]."""
+        rows = jnp.take(tex, jnp.asarray(iyw[self.yidx.reshape(-1)]), axis=0)
+        out = jnp.take(rows, jnp.asarray(ixw[self.xidx.reshape(-1)]), axis=1)
+        c = tex.shape[-1]
+        return out.reshape(self.my, self.ry, self.mx, self.rx, c)
+
+    def take_runs(self, tex, iy_runs: np.ndarray, ix_runs: np.ndarray):
+        """Source-resolution tap from per-run wrapped indices:
+        [my,1,mx,1,C]."""
+        rows = jnp.take(tex, jnp.asarray(iy_runs), axis=0)
+        out = jnp.take(rows, jnp.asarray(ix_runs), axis=1)
+        c = tex.shape[-1]
+        return out.reshape(self.my, 1, self.mx, 1, c)
+
+    # -- output flattening ----------------------------------------------
+    def flatten(self, data):
+        """Broadcastable factored data with a trailing channel dim →
+        [OH, OW, C]."""
+        c = data.shape[-1] if data.ndim else 1
+        data = jnp.broadcast_to(data, (self.my, self.ry, self.mx, self.rx, c))
+        data = data.reshape((self.my * self.ry, self.mx * self.rx, c))
+        data = jnp.take(data, jnp.asarray(self.rowsel), axis=0)
+        return jnp.take(data, jnp.asarray(self.colsel), axis=1)
+
+
+def factored_affine_tap(fac: Factorization, sampler, aff, oh: int, ow: int):
+    """Lower one affine separable texture tap on the factored grid.
+
+    NEAREST taps whose float32 texel-index maps are constant within the
+    factorization's runs (integer-source-px offsets of the identity map —
+    the xbr/hqx/ntsc tap families) gather at source resolution and ride
+    the grid as [my,1,mx,1,C] broadcasts. Anything else (LUTs with alien
+    cell structure, LINEAR taps) materializes at full factored resolution
+    with exactly the same float32 index/weight math as
+    ops/sampling._axis_matrix, so results match the plain path
+    bit-for-bit."""
+    from retrocapture_tpu.ops.sampling import WRAP_MODES, _wrap_index_np
+
+    tex = jnp.asarray(sampler.tex)
+    h, w = tex.shape[0], tex.shape[1]
+    wrap = sampler.wrap_mode if sampler.wrap_mode in WRAP_MODES else "clamp_to_edge"
+    u_row = (
+        np.float64(aff[0][0]) * np.arange(ow, dtype=np.float64)
+        + np.float64(aff[0][2])
+    ).astype(np.float32)
+    v_col = (
+        np.float64(aff[1][1]) * np.arange(oh, dtype=np.float64)
+        + np.float64(aff[1][2])
+    ).astype(np.float32)
+
+    def axis_nearest(coord, n):
+        idx = np.floor(coord * np.float32(n)).astype(np.int64)
+        return _wrap_index_np(idx, n, wrap)
+
+    if not sampler.filter_linear:
+        ix, vx = axis_nearest(u_row, w)
+        iy, vy = axis_nearest(v_col, h)
+        ixr = fac.x_run_values(ix)
+        iyr = fac.y_run_values(iy)
+        if ixr is not None and iyr is not None:
+            out = fac.take_runs(tex, iyr, ixr)
+            if vx is not None or vy is not None:  # border: zero invalid taps
+                vxr = fac.x_run_values(vx.astype(np.int64))
+                vyr = fac.y_run_values(vy.astype(np.int64))
+                if vxr is None or vyr is None:
+                    return _apply_border(
+                        fac.take_full(tex, iy, ix), fac, vy, vx
+                    )
+                valid = (vyr[:, None] & vxr[None, :]).astype(np.float32)
+                out = out * jnp.asarray(valid).reshape(fac.my, 1, fac.mx, 1, 1)
+            return out
+        out = fac.take_full(tex, iy, ix)
+        return _apply_border(out, fac, vy, vx) if (vx is not None or vy is not None) else out
+
+    # LINEAR: two taps per axis with float32 lerp weights, matching
+    # _axis_matrix's x = coord*n - 0.5 convention.
+    def axis_linear(coord, n):
+        x = coord * np.float32(n) - np.float32(0.5)
+        x0 = np.floor(x).astype(np.int64)
+        f = (x - x0).astype(np.float32)
+        i0, v0 = _wrap_index_np(x0, n, wrap)
+        i1, v1 = _wrap_index_np(x0 + 1, n, wrap)
+        w0, w1 = np.float32(1.0) - f, f
+        if v0 is not None:
+            w0 = w0 * v0
+        if v1 is not None:
+            w1 = w1 * v1
+        return (i0, w0), (i1, w1)
+
+    xt = axis_linear(u_row, w)
+    yt = axis_linear(v_col, h)
+    out = None
+    for iyl, wy in yt:
+        row_acc = None
+        wyf = jnp.asarray(wy[fac.yidx.reshape(-1)]).reshape(
+            fac.my, fac.ry, 1, 1, 1
+        )
+        for ixl, wx in xt:
+            term = fac.take_full(tex, iyl, ixl)
+            wxf = jnp.asarray(wx[fac.xidx.reshape(-1)]).reshape(
+                1, 1, fac.mx, fac.rx, 1
+            )
+            term = term * wxf
+            row_acc = term if row_acc is None else row_acc + term
+        row_acc = row_acc * wyf
+        out = row_acc if out is None else out + row_acc
+    return out
+
+
+def _apply_border(out, fac: Factorization, vy, vx):
+    """Zero border-invalid taps on a full-factored plane."""
+    valid = np.ones((), bool)
+    if vy is not None:
+        valid = valid & vy[fac.yidx.reshape(-1)].reshape(fac.my, fac.ry, 1, 1)
+    if vx is not None:
+        vv = vx[fac.xidx.reshape(-1)].reshape(1, 1, fac.mx, fac.rx)
+        valid = valid & vv
+    return out * jnp.asarray(np.broadcast_to(valid, fac.batch_shape).astype(np.float32))[..., None]
+
+
+def plan_factorization(
+    oh: int, ow: int, in_h: int, in_w: int, *, max_overhead: float = 1.4
+):
+    """A Factorization for the pass geometry, or None when factoring
+    cannot pay: no axis actually repeats, or the padded factored grid
+    would exceed ``max_overhead`` times the true pixel count."""
+    import os
+
+    if os.environ.get("RCTPU_FACTORED") == "off":
+        return None
+    if oh < 2 or ow < 2 or in_h < 1 or in_w < 1:
+        return None
+    ys, yl = _axis_runs(oh, max(in_h, 1))
+    xs, xl = _axis_runs(ow, max(in_w, 1))
+    f = Factorization(oh, ow, ys, yl, xs, xl)
+    if f.ry < 2 and f.rx < 2:
+        return None
+    padded = f.my * f.ry * f.mx * f.rx
+    if padded > max_overhead * oh * ow:
+        return None
+    return f

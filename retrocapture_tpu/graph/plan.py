@@ -310,6 +310,9 @@ class PassContext:
         # fragments (crt-mattias unrolls to 225 taps).
         self.warp_taps_traced = 0
         self.max_pallas_taps = 8
+        # Active phase-factored grid (graph/factored.Factorization) or
+        # None: set per evaluation attempt by runtime/engine._run_pass.
+        self.factored = None
         self._alias_to_pass = {
             cfg.alias: j
             for j, cfg in enumerate(program.preset.passes)

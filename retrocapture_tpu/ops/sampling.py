@@ -227,6 +227,64 @@ def sample2d_lod(
     return s0 + (s1 - s0) * jnp.float32(frac)
 
 
+def _axis_stride(coord_f32: np.ndarray, n: int):
+    """(idx0, stride) when the pre-wrap NEAREST indices for one axis
+    advance with an exact constant integer stride >= 1, else None.
+    Mirrors _axis_matrix exactly: indices are floor(coord * n) in
+    float32 arithmetic."""
+    idx = np.floor(coord_f32 * np.float32(n)).astype(np.int64)
+    if idx.shape[0] <= 1:
+        return (int(idx[0]), 1) if idx.shape[0] else (0, 1)
+    d = np.diff(idx)
+    s = int(d[0])
+    if s < 1 or s > 64 or not np.all(d == s):
+        return None
+    return int(idx[0]), s
+
+
+def _nearest_stride_slice(tex, u_row, v_col, wrap_mode: str):
+    """NEAREST separable tap whose per-axis texel indices advance with a
+    constant integer stride (identity taps, integer-offset FIR taps,
+    integer decimation): lower to an edge-padded strided slice instead of
+    one-hot resampling matmuls. This is what the reference's GL texture
+    unit does for the ntsc-pass2 65-tap FIR family
+    (shaders_glsl/ntsc/shaders/ntsc-pass2-*.glsl fetch_offset) — on TPU
+    the slices fuse into the consuming FIR arithmetic, so the taps cost
+    no FLOPs and no HBM round-trips at all."""
+    h, w, _ = tex.shape
+    rx = _axis_stride(u_row, w)
+    ry = _axis_stride(v_col, h)
+    if rx is None or ry is None:
+        return None
+    x0, sx = rx
+    y0, sy = ry
+    ow, oh = u_row.shape[0], v_col.shape[0]
+    x1 = x0 + sx * (ow - 1)
+    y1 = y0 + sy * (oh - 1)
+    pad_lo = (max(0, -y0), max(0, -x0), 0)
+    pad_hi = (max(0, y1 - (h - 1)), max(0, x1 - (w - 1)), 0)
+    if max(pad_lo) > 4 * h + 64 or max(pad_hi) > 4 * w + 64:
+        return None  # degenerate maps: fall back to the matrix path
+    if any(pad_lo) or any(pad_hi):
+        mode = {
+            "clamp_to_edge": "edge",
+            "repeat": "wrap",
+            "mirrored_repeat": "symmetric",
+        }.get(wrap_mode)
+        if mode is None:  # clamp_to_border: GL border color is 0
+            tex = jnp.pad(tex, tuple(zip(pad_lo, pad_hi)), mode="constant")
+        else:
+            tex = jnp.pad(tex, tuple(zip(pad_lo, pad_hi)), mode=mode)
+    ys = y0 + pad_lo[0]
+    xs = x0 + pad_lo[1]
+    return jax.lax.slice(
+        tex,
+        (ys, xs, 0),
+        (ys + sy * (oh - 1) + 1, xs + sx * (ow - 1) + 1, tex.shape[2]),
+        (sy, sx, 1),
+    )
+
+
 def sample2d_affine(
     tex: jax.Array,
     u_aff: tuple,
@@ -255,11 +313,15 @@ def sample2d_affine(
     v_col = (
         np.float64(v_aff[1]) * np.arange(oh, dtype=np.float64) + np.float64(v_aff[2])
     ).astype(np.float32)
+    if not filter_linear:
+        out = _nearest_stride_slice(tex, u_row, v_col, wrap_mode)
+        if out is not None:
+            return out
     ax = _axis_matrix_device(u_row, w, filter_linear, wrap_mode)
     ay = _axis_matrix_device(v_col, h, filter_linear, wrap_mode)
-    th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32)
+    th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum(
-        "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32
+        "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     ).astype(tex.dtype)
 
 
@@ -313,9 +375,9 @@ def sample2d_separable(
     h, w, _ = tex.shape
     ax = _axis_matrix_traced(u_row, w, filter_linear, wrap_mode)
     ay = _axis_matrix_traced(v_col, h, filter_linear, wrap_mode)
-    th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32)
+    th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum(
-        "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32
+        "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     ).astype(tex.dtype)
 
 
@@ -428,7 +490,10 @@ def _sample2d_banded(
                 oh = jax.nn.one_hot(ly, kb, dtype=tex.dtype) * (
                     twt * inb
                 )[..., None]
-                acc = acc + jnp.einsum("rxk,rxkc->rxc", oh, rowsamp)
+                acc = acc + jnp.einsum(
+                    "rxk,rxkc->rxc", oh, rowsamp,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             return (i + 1, acc)
 
         acc0 = jnp.zeros((r, wo, c), jnp.float32)

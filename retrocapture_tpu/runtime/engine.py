@@ -837,6 +837,7 @@ def _run_pass(cp, ctx: PassContext, sh: PassShapes):
     affine metadata (values.py): coordinate math stays O(1) at trace time
     and stays out of the HLO as constants; separable taps lower to MXU
     matmuls via the metadata, warped taps to on-device gathers."""
+    from retrocapture_tpu.graph.factored import FactoredBailout, plan_factorization
     from retrocapture_tpu.graph.kernels import find_kernel
 
     hand = find_kernel(ctx.program.preset.passes[cp.index].shader_path)
@@ -845,13 +846,36 @@ def _run_pass(cp, ctx: PassContext, sh: PassShapes):
         if out is not None:
             return out
 
+    # Phase-factored evaluation for scaling passes (graph/factored.py):
+    # run on the [my, ry, mx, rx] grid so tap-derived math stays at
+    # source resolution; bail back to the plain grid on any construct
+    # the factored tap lowering cannot express.
+    fac = plan_factorization(sh.out_h, sh.out_w, sh.in_h, sh.in_w)
+    if fac is not None:
+        ctx.factored = fac
+        try:
+            return _eval_pass_on_grid(cp, ctx, sh, fac)
+        except FactoredBailout:
+            pass
+        finally:
+            ctx.factored = None
+    ctx.factored = None
+    return _eval_pass_on_grid(cp, ctx, sh, None)
+
+
+def _eval_pass_on_grid(cp, ctx: PassContext, sh: PassShapes, fac):
     ow, oh = sh.out_w, sh.out_h
-    xg = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)  # column index
-    yg = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)  # row index
+    if fac is None:
+        xg = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)  # column
+        yg = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)  # row
+        zeros = jnp.zeros((oh, ow), jnp.float32)
+        ones = jnp.ones((oh, ow), jnp.float32)
+    else:
+        xg, yg = fac.seed_arrays()
+        zeros = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        ones = jnp.ones((1, 1, 1, 1), jnp.float32)
     ugrid = (xg + 0.5) * np.float32(1.0 / ow)
     vgrid = (yg + 0.5) * np.float32(1.0 / oh)
-    zeros = jnp.zeros((oh, ow), jnp.float32)
-    ones = jnp.ones((oh, ow), jnp.float32)
 
     ua = (1.0 / ow, 0.0, 0.5 / ow)
     va = (0.0, 1.0 / oh, 0.5 / oh)
@@ -859,7 +883,9 @@ def _run_pass(cp, ctx: PassContext, sh: PassShapes):
     c1 = (0.0, 0.0, 1.0)
 
     def vec4(a, b, c, d, aff):
-        return V(jnp.stack([a, b, c, d], axis=-1), GType("float", (4,)), affine=aff)
+        shp = jnp.broadcast_shapes(*(jnp.shape(x) for x in (a, b, c, d)))
+        comps = [jnp.broadcast_to(x, shp) for x in (a, b, c, d)]
+        return V(jnp.stack(comps, axis=-1), GType("float", (4,)), affine=aff)
 
     tex_coord = vec4(ugrid, vgrid, zeros, ones, (ua, va, c0, c1))
     vertex_coord = vec4(
@@ -900,12 +926,12 @@ def _run_pass(cp, ctx: PassContext, sh: PassShapes):
     _, out_color, discard_mask = cp.fragment_eval.run(ctx, f_inputs)
     if out_color is None:
         raise UnsupportedShaderError(f"pass {cp.index}: no output color written")
-    data = out_color.data
-    data = jnp.asarray(data)
-    data = jnp.broadcast_to(data, (oh, ow, 4))
+    data = jnp.asarray(out_color.data)
     if discard_mask is not None and discard_mask is not False:
         if discard_mask is True:
             data = jnp.zeros_like(data)
         else:
             data = jnp.where(jnp.asarray(discard_mask)[..., None], 0.0, data)
-    return data
+    if fac is not None:
+        return fac.flatten(data)
+    return jnp.broadcast_to(data, (oh, ow, 4))
