@@ -138,6 +138,8 @@ def bench_config(name, preset, shape, batch, fmt, *, iters=8, warmup=2):
 
 
 def main() -> int:
+    import gc
+
     results = []
     for name, preset, shape, batch, fmt in CONFIGS:
         try:
@@ -146,6 +148,17 @@ def main() -> int:
             r = {"name": name, "error": f"{type(ex).__name__}: {ex}"}
         results.append(r)
         print(f"# {r}", file=sys.stderr, flush=True)
+        # Drop the config's engine/jit caches and device buffers before
+        # the next config compiles: stacked live executables + buffers
+        # from earlier configs can push a large-footprint config over
+        # HBM capacity.
+        gc.collect()
+        try:
+            import jax
+
+            jax.clear_caches()
+        except Exception:  # noqa: BLE001
+            pass
 
     good = [r["fps"] for r in results if "fps" in r]
     if good:

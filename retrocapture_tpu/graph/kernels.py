@@ -25,10 +25,7 @@ __all__ = ["find_kernel"]
 
 
 def _mode() -> str:
-    # default off: the blur-group kernel currently compiles/runs slower
-    # than the evaluator path on this Mosaic version (see PARITY.md
-    # round-2 notes); flip to "on" once it wins.
-    return os.environ.get("RCTPU_KERNELS", "off")
+    return os.environ.get("RCTPU_KERNELS", "on")
 
 
 def _glsl_pow(x, p: float):
@@ -108,10 +105,10 @@ def _mattias_kernel(ctx, sh):
     h, w = tex.shape[0], tex.shape[1]
     ow, oh = ctx.out_size
     groups = []
-    for ch, bx, by, offs, _, _ in _MATTIAS_GROUPS:
+    for ch, bx, by, offs, scale, _ in _MATTIAS_GROUPS:
         xo = [np.float32(offs * k) / np.float32(ow) for k in (-2.0, -1.0, 0.0, 1.0, 2.0)]
         yo = [np.float32(offs * k) / np.float32(oh) for k in (-2.0, -1.0, 0.0, 1.0, 2.0)]
-        groups.append(BlurGroup(ch, bx, by, xo, yo, _MATTIAS_W))
+        groups.append(BlurGroup(ch, bx, by, xo, yo, _MATTIAS_W, scale))
     if not interpret and not blur_groups_fits((h, w, 3), (oh, ow), groups):
         return None
 
@@ -133,9 +130,10 @@ def _mattias_kernel(ctx, sh):
     p = _glsl_pow(jnp.maximum(tex[..., :3], 0.0), 2.2)
     planes = blur5x5_groups(p, uv_u, uv_v, groups, interpret=interpret)
 
-    cols = [jnp.zeros((oh, ow), jnp.float32) for _ in range(3)]
-    for (ch, _, _, _, scale, post), plane in zip(_MATTIAS_GROUPS, planes):
-        cols[ch] = cols[ch] + np.float32(scale) * plane + np.float32(post)
+    posts = {0: 0.0, 1: 0.0, 2: 0.0}
+    for ch, _, _, _, _, post in _MATTIAS_GROUPS:
+        posts[ch] += post
+    cols = [planes[ch] + np.float32(posts[ch]) for ch in range(3)]
 
     col = jnp.stack(cols, axis=-1)
     # epilogue (crt-mattias.glsl main tail)

@@ -1,26 +1,33 @@
 """Pallas TPU kernel: warped multi-group 5x5 NEAREST-tap blur.
 
-The crt-mattias fragment (and the crt-geom blur family) evaluates many
-Gaussian-weighted NEAREST texture taps around per-group warped bases:
+The crt-mattias fragment evaluates 9 blur() calls x 25 Gaussian-weighted
+NEAREST taps around per-group warped bases — 225 taps per output pixel
+(crt-mattias.glsl blur(), main(); the reference's GL rasterizer absorbs
+this through its texture cache, ShaderEngine.cpp:850-1475). Lowered
+tap-by-tap the chain is HBM-bound and minutes to compile (round 1/2).
 
-    out_g = sum_ij W[j][i] * tex[ch_g](base_uv + group_off_g + (xo_i, yo_j))
+This kernel shares everything shareable inside one Mosaic program:
 
-Round 1 lowered each of the 225 taps as an independent banded sample —
-278 ms/frame at 1080p (BENCH_r01). This kernel shares everything that
-can be shared: the warped base grid rides in once, the texture stays
-VMEM-resident for the whole grid, each (8 x 512)-pixel tile slices
-per-group row bands, and each tap's texel fetch is a hardware
-dynamic-gather along lanes (one instruction per 128 pixels fetches the
-whole KB-row column). The 5x5 weight matrix is applied as a rank-2 SVD
-(its rows are an outer product up to ~1e-4 — the residual is below the
-RGBA8 quantization floor), so the y-dimension needs two weighted
-one-hot blends instead of five.
+* the texture rides VMEM for the whole grid ([H, C, W] layout,
+  constant-index block);
+* per (tile, channel) a KB-row x 256-lane slice is dynamically ROTATED
+  so the tile's whole tap window sits in lanes [0, 128) — one aligned
+  window instead of per-tap band pairs (Mosaic only slices lanes at
+  128 alignment; `pltpu.roll` with a dynamic shift is exact);
+* per output row, taps collapse to ~22 distinct integer column offsets
+  tau: one lane-gather per (channel, tau) fetches the whole KB-row
+  column, and every tap's contribution becomes mask arithmetic;
+* the 5x5 weights act through their rank-2 SVD factors (residual
+  ~1e-4, below the RGBA8 quantization floor): per (group, rank) an
+  x-weight row omega_tau (piecewise-constant in the column phase) and a
+  y-weight stack psi[k] (one-hot rows over the band), so the 225-tap
+  sum per channel is sum_tau G_tau * (sum_{g,m} omega * psi) — a few
+  dense [KB, 128] FMAs per tau instead of per-tap gathers.
 
-Exactness: x uses two 128-aligned static bands per TX-pixel output row
-(spanning at most two aligned bands whenever TX*w/wo + spread <= XB —
-enforced by ``blur_groups_fits``);
-y uses a per-(row, group) dynamic band of KB rows with in-band masks.
-Taps are clamp_to_edge-wrapped (the preset family's wrap mode).
+Tap indices mirror the evaluator's float32 op order exactly:
+column = floor(((u + base) + offset) * W), row likewise; the per-tap
+candidate split tau in {TLO, TLO+1} is re-derived per pixel from the
+actual floors, so float rounding never misroutes a tap.
 """
 
 from __future__ import annotations
@@ -31,68 +38,96 @@ import numpy as np
 
 __all__ = ["blur5x5_groups", "blur_groups_fits", "BlurGroup"]
 
-TX = 512
-TY = 8
-XB = 128
-KB = 16
+TX = 128  # output pixels per tile row (lane dim; Mosaic slice-aligned)
+TY = 8  # output rows per tile
+_KB_CAP = 32  # max band rows per channel window
 _VMEM_TEX_BYTES = 6 * 2**20
 
 
 class BlurGroup:
-    """One blur() call: texture channel, base uv offset, per-tap texel
-    offsets (5 x, 5 y) and the 5x5 weight matrix (row-major [j][i])."""
+    """One blur() call: output channel, texture channel, base uv offset,
+    per-tap uv offsets (5 x, 5 y), the 5x5 weight matrix (row-major
+    [j][i]) and a scalar output scale (folded into the weights)."""
 
-    __slots__ = ("channel", "bx", "by", "xo", "yo", "weights")
+    __slots__ = ("channel", "bx", "by", "xo", "yo", "weights", "scale")
 
-    def __init__(self, channel, bx, by, xo, yo, weights):
+    def __init__(self, channel, bx, by, xo, yo, weights, scale=1.0):
         self.channel = int(channel)
         self.bx = float(bx)
         self.by = float(by)
         self.xo = tuple(float(x) for x in xo)  # uv units
         self.yo = tuple(float(y) for y in yo)
-        self.weights = np.asarray(weights, np.float64)  # [5j, 5i]
+        self.weights = np.asarray(weights, np.float64)
+        self.scale = float(scale)
 
 
 def _rank2(weights):
-    """Rank-2 SVD factors (a1, b1, a2, b2) with out ~ sum_m b_m ⊗ a_m;
-    returns (factors, residual_max)."""
+    """Rank-2 SVD factors [(ax, ay), (ax2, ay2)]: out ~ sum_m ay_m ⊗ ax_m."""
     u, s, vt = np.linalg.svd(weights)
-    w2 = s[0] * np.outer(u[:, 0], vt[0]) + s[1] * np.outer(u[:, 1], vt[1])
-    resid = float(np.abs(weights - w2).max())
     facs = []
     for m in range(2):
         facs.append(
             (
-                (s[m] ** 0.5 * vt[m]).astype(np.float32),  # x coefs [5i]
-                (s[m] ** 0.5 * u[:, m]).astype(np.float32),  # y coefs [5j]
+                (np.sign(s[m]) * np.abs(s[m]) ** 0.5 * vt[m]).astype(np.float32),
+                (np.abs(s[m]) ** 0.5 * u[:, m]).astype(np.float32),
             )
         )
-    return facs, resid
+    w2 = sum(np.outer(ay, ax) for ax, ay in facs)
+    return facs, float(np.abs(weights - w2).max())
+
+
+def _static_plan(groups, w, h):
+    """Per-group static tap data + per-channel tau sets and row windows."""
+    chans = sorted({g.channel for g in groups})
+    plan = {ch: {"taus": set(), "mmin": 10**9, "mmax": -(10**9), "groups": []} for ch in chans}
+    for g in groups:
+        facs, resid = _rank2(g.weights * g.scale)
+        xi = []  # per x-tap: (TLO, xo as f32)
+        for xo in g.xo:
+            c = (g.bx + xo) * w
+            tlo = int(np.floor(c))
+            xi.append((tlo, np.float32(xo)))
+            plan[g.channel]["taus"].update((tlo, tlo + 1))
+        yj = []
+        for yo in g.yo:
+            c = (g.by + yo) * h
+            slo = int(np.floor(c))
+            yj.append((slo, np.float32(yo)))
+            plan[g.channel]["mmin"] = min(plan[g.channel]["mmin"], slo)
+            plan[g.channel]["mmax"] = max(plan[g.channel]["mmax"], slo + 1)
+        plan[g.channel]["groups"].append(
+            {"g": g, "facs": facs, "xi": xi, "yj": yj}
+        )
+    for ch in chans:
+        plan[ch]["taus"] = sorted(plan[ch]["taus"])
+        plan[ch]["tmin"] = plan[ch]["taus"][0]
+        plan[ch]["tmax"] = plan[ch]["taus"][-1]
+        # Band rows: tap row window + descent/bend margin, 8-aligned.
+        win = plan[ch]["mmax"] - plan[ch]["mmin"] + 1
+        plan[ch]["kb"] = min(((win + 7 + 7) // 8) * 8, _KB_CAP)
+    return plan
 
 
 def blur_groups_fits(tex_shape, out_shape, groups) -> bool:
-    """Static feasibility: VMEM-resident texture, tap spread within the
-    two-aligned-band x guarantee and the KB-row y band."""
+    """Static feasibility: VMEM-resident texture; each channel's tap
+    window (tile source span + tap spread + warp bend slack) within one
+    128-lane rotated window; row window within the KB-row band."""
     h, w, c = tex_shape
     oh, ow = out_shape
     hp = ((h + 7) // 8) * 8
-    wp = ((w + XB - 1) // XB) * XB
+    wp = ((w + 2 * TX - 1) // (2 * TX)) * (2 * TX)
     if hp * wp * c * 4 > _VMEM_TEX_BYTES:
         return False
-    # x: a row tile's source extent + tap spread must fit two aligned
-    # bands (one shared band pair per TX-pixel output row)
-    xs_spread = max(
-        abs(g.bx + xo) * w for g in groups for xo in g.xo
-    ) * 2 + 2
-    if TX * (w / ow) + xs_spread > XB:
-        return False
-    # y: per-(row, group) band must cover tap window + row bend; allow
-    # half of KB for the (statically unknown) warp bend.
-    ys_spread = max(
-        (max(g.yo) - min(g.yo)) * h for g in groups
-    ) + 3
-    if ys_spread > KB - KB // 2:
-        return False
+    plan = _static_plan(groups, w, h)
+    # x: tile source span (with curvature slack x1.3) + tau spread <= 120
+    span = TX * (w / ow) * 1.3 + 4
+    descent = TY * (h / oh) * 1.3 + 3
+    for ch, p in plan.items():
+        if span + (p["tmax"] - p["tmin"]) > 120:
+            return False
+        # y: tap row window + tile descent (TY rows with slack) + bend
+        if (p["mmax"] - p["mmin"]) + descent > p["kb"] - 1:
+            return False
     try:
         platform = jax.devices()[0].platform
     except Exception:  # noqa: BLE001
@@ -101,19 +136,20 @@ def blur_groups_fits(tex_shape, out_shape, groups) -> bool:
 
 
 def blur5x5_groups(tex, u, v, groups, *, interpret: bool = False):
-    """tex [H, W, C] f32 (pre-gamma'd values), u/v [HO, WO] base warp →
-    list of per-group [HO, WO] f32 planes."""
+    """tex [H, W, C] f32 (pre-transformed values), u/v [HO, WO] base warp
+    → dict {channel: [HO, WO] f32 plane} with per-group scales folded."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     h, w, c = tex.shape
     u = jnp.asarray(u, jnp.float32)
     v = jnp.asarray(v, jnp.float32)
     ho, wo = u.shape
-    ng = len(groups)
+    plan = _static_plan(groups, w, h)
+    chans = sorted(plan.keys())
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    hp = max(((h + 7) // 8) * 8, KB)
-    wp = max(((w + XB - 1) // XB) * XB, 2 * XB)
+    hp = max(((h + 7) // 8) * 8, max(plan[ch]["kb"] for ch in chans))
+    wp = max(((w + 2 * TX - 1) // (2 * TX)) * (2 * TX), 2 * TX)
     tex3 = jnp.transpose(tex.astype(jnp.float32), (0, 2, 1))  # [H, C, W]
     if hp != h or wp != w:
         tex3 = jnp.pad(tex3, ((0, hp - h), (0, 0), (0, wp - w)), mode="edge")
@@ -124,106 +160,155 @@ def blur5x5_groups(tex, u, v, groups, *, interpret: bool = False):
         u = jnp.pad(u, ((0, hop - ho), (0, wop - wo)), mode="edge")
         v = jnp.pad(v, ((0, hop - ho), (0, wop - wo)), mode="edge")
 
-    # Static per-group tap constants, mirroring the evaluator's f32 op
-    # order ((uv + base) + offset) * size.
-    gconst = []
-    for g in groups:
-        facs, _ = _rank2(g.weights)
-        gconst.append(
-            {
-                "ch": g.channel,
-                "bx": np.float32(g.bx),
-                "by": np.float32(g.by),
-                "xo": [np.float32(x) for x in g.xo],
-                "yo": [np.float32(y) for y in g.yo],
-                "facs": facs,
-            }
-        )
+    fw = np.float32(w)
+    fh = np.float32(h)
 
     def kernel(u_ref, v_ref, tex_ref, *out_refs):
-        ioty = jax.lax.broadcasted_iota(jnp.int32, (KB, TX), 0)
+        ioks = {
+            ch: jax.lax.broadcasted_iota(jnp.int32, (plan[ch]["kb"], TX), 0)
+            for ch in chans
+        }
+        uu = u_ref[:].astype(jnp.float32)  # [TY, TX]
+        vv = v_ref[:].astype(jnp.float32)
 
-        def gather_x(band, li):
-            """band [KB, XB=128]; li [1, TX] in [0, XB) → [KB, TX]."""
-            cols = []
-            for jj in range(TX // XB):
-                idx = jnp.broadcast_to(li[:, jj * XB : (jj + 1) * XB], (KB, XB))
-                cols.append(jnp.take_along_axis(band, idx, axis=1))
-            return jnp.concatenate(cols, axis=1)
+        # Global per-pixel column base (float op order mirrors the
+        # evaluator: floor(u * W) for the un-offset base).
+        c0_all = jnp.floor(uu * fw).astype(jnp.int32)  # [TY, TX]
+        r0_all = jnp.floor(vv * fh).astype(jnp.int32)
+
+        # --- per-channel rotated bands (built once per tile) ----------
+        bands = {}
+        for ch in chans:
+            p = plan[ch]
+            # Window extents over the whole tile from the extreme taps
+            # (clipped floors, so texture-edge clamping is included).
+            xlo = jnp.min(jnp.clip(c0_all + p["tmin"], 0, w - 1))
+            ys = jnp.clip(
+                jnp.min(jnp.clip(r0_all + p["mmin"], 0, h - 1)) - 1,
+                0,
+                hp - p["kb"],
+            )
+            kb = p["kb"]
+            xs0 = pl.multiple_of((xlo // TX) * TX, TX)
+            xs1 = pl.multiple_of(
+                jnp.minimum(xs0 + TX, wp - TX), TX
+            )
+            b0 = tex_ref[pl.ds(ys, kb), ch, pl.ds(xs0, TX)]
+            b1 = tex_ref[pl.ds(ys, kb), ch, pl.ds(xs1, TX)]
+            band = pltpu.roll(
+                jnp.concatenate([b0, b1], axis=1), -(xlo - xs0), 1
+            )[:, :TX]
+            bands[ch] = (band, xlo, ys)
 
         def row_body(r, _):
-            uu = u_ref[pl.ds(r, 1), :].astype(jnp.float32)
-            vv = v_ref[pl.ds(r, 1), :].astype(jnp.float32)
-            for gi, gc in enumerate(gconst):
-                ug = uu + gc["bx"]
-                vg = vv + gc["by"]
-                tx = [
-                    jnp.clip(
-                        jnp.floor((ug + xo) * np.float32(w)).astype(jnp.int32),
-                        0,
-                        w - 1,
-                    )
-                    for xo in gc["xo"]
-                ]
-                ty = [
-                    jnp.clip(
-                        jnp.floor((vg + yo) * np.float32(h)).astype(jnp.int32),
-                        0,
-                        h - 1,
-                    )
-                    for yo in gc["yo"]
-                ]
-                ys = jnp.clip(jnp.min(ty[0]), 0, hp - KB)
-                xmin = jnp.min(tx[0])
-                xs0 = pl.multiple_of((xmin // XB) * XB, XB)
-                xs1 = pl.multiple_of(jnp.minimum(xs0 + XB, wp - XB), XB)
-                band0 = tex_ref[pl.ds(ys, KB), gc["ch"], pl.ds(xs0, XB)]
-                band1 = tex_ref[pl.ds(ys, KB), gc["ch"], pl.ds(xs1, XB)]
+            uu_r = u_ref[pl.ds(r, 1), :].astype(jnp.float32)  # [1, TX]
+            vv_r = v_ref[pl.ds(r, 1), :].astype(jnp.float32)
+            c0 = jnp.floor(uu_r * fw).astype(jnp.int32)
 
-                # x-resolved columns per x-tap (full KB-row window)
-                z = []
-                for ti in tx:
-                    in0 = ti < xs0 + XB
-                    g0 = gather_x(band0, jnp.clip(ti - xs0, 0, XB - 1))
-                    g1 = gather_x(band1, jnp.clip(ti - xs1, 0, XB - 1))
-                    z.append(jnp.where(in0, g0, g1))
+            for oi, ch in enumerate(chans):
+                p = plan[ch]
+                band, xlo, ys = bands[ch]
+                kb = p["kb"]
+                iok = ioks[ch]
 
-                # rank-2 of the 5x5 weights: two x-combos, two weighted
-                # y one-hot blends
+                # Column gathers: one per distinct tau.
+                gat = {}
+                for t in p["taus"]:
+                    idx = jnp.clip(
+                        jnp.clip(c0 + t, 0, w - 1) - xlo, 0, TX - 1
+                    )
+                    gat[t] = jnp.take_along_axis(
+                        band, jnp.broadcast_to(idx, (kb, TX)), axis=1
+                    )
+
+                # Weight stack per tau, accumulated over (group, rank).
+                ws = {t: None for t in p["taus"]}
+                for ginfo in p["groups"]:
+                    g = ginfo["g"]
+                    ug = uu_r + np.float32(g.bx)
+                    vg = vv_r + np.float32(g.by)
+                    # y: one-hot band rows per y-tap, shared by ranks.
+                    psis = [None, None]
+                    for (slo, yoff), ay0, ay1 in zip(
+                        ginfo["yj"],
+                        ginfo["facs"][0][1],
+                        ginfo["facs"][1][1],
+                    ):
+                        dr = (
+                            jnp.clip(
+                                jnp.floor(
+                                    (vg + yoff) * fh
+                                ).astype(jnp.int32),
+                                0,
+                                h - 1,
+                            )
+                            - ys
+                        )
+                        oh_j = (iok == dr).astype(jnp.float32)
+                        psis[0] = oh_j * ay0 if psis[0] is None else psis[0] + oh_j * ay0
+                        psis[1] = oh_j * ay1 if psis[1] is None else psis[1] + oh_j * ay1
+                    # x: per-tap candidate split tau in {TLO, TLO+1}.
+                    oms = [
+                        {t: None for t in p["taus"]},
+                        {t: None for t in p["taus"]},
+                    ]
+                    for (tlo, xoff), ax0, ax1 in zip(
+                        ginfo["xi"],
+                        ginfo["facs"][0][0],
+                        ginfo["facs"][1][0],
+                    ):
+                        ti = jnp.clip(
+                            jnp.floor((ug + xoff) * fw).astype(jnp.int32),
+                            0,
+                            w - 1,
+                        )
+                        a = jnp.clip(ti - c0 - tlo, 0, 1).astype(jnp.float32)
+                        for m, axm in ((0, ax0), (1, ax1)):
+                            lo = axm * (1.0 - a)
+                            hi = axm * a
+                            oms[m][tlo] = lo if oms[m][tlo] is None else oms[m][tlo] + lo
+                            oms[m][tlo + 1] = (
+                                hi if oms[m][tlo + 1] is None else oms[m][tlo + 1] + hi
+                            )
+                    for m in (0, 1):
+                        for t, om in oms[m].items():
+                            if om is None:
+                                continue
+                            term = psis[m] * om
+                            ws[t] = term if ws[t] is None else ws[t] + term
+
                 acc = None
-                for ax, ay in gc["facs"]:
-                    zx = None
-                    for i in range(5):
-                        t = z[i] * ax[i]
-                        zx = t if zx is None else zx + t
-                    oy = None
-                    for j in range(5):
-                        m = (ioty + ys == ty[j]).astype(jnp.float32) * ay[j]
-                        oy = m if oy is None else oy + m
-                    s = jnp.sum(oy * zx, axis=0, keepdims=True)
-                    acc = s if acc is None else acc + s
-                out_refs[gi][pl.ds(r, 1), :] = acc
+                for t in p["taus"]:
+                    if ws[t] is None:
+                        continue
+                    term = gat[t] * ws[t]
+                    acc = term if acc is None else acc + term
+                out_refs[oi][pl.ds(r, 1), :] = jnp.sum(
+                    acc, axis=0, keepdims=True
+                )
             return 0
 
-        # dynamic row loop: keeps the kernel's code size at 1 row x
-        # n-groups (a fully unrolled 8x9 body took Mosaic minutes)
         jax.lax.fori_loop(0, TY, row_body, 0)
 
     planes = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((hop, wop), jnp.float32) for _ in range(ng)],
+        out_shape=[
+            jax.ShapeDtypeStruct((hop, wop), jnp.float32) for _ in chans
+        ],
         grid=(hop // TY, wop // TX),
         in_specs=[
             pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, c, wp), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (hp, c, wp), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
             pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-            for _ in range(ng)
+            for _ in chans
         ],
         interpret=interpret,
     )(u, v, tex3)
     if wop != wo or hop != ho:
-        planes = [p[:ho, :wo] for p in planes]
-    return planes
+        planes = [pl_[:ho, :wo] for pl_ in planes]
+    return {ch: planes[i] for i, ch in enumerate(chans)}

@@ -849,8 +849,13 @@ def _run_pass(cp, ctx: PassContext, sh: PassShapes):
     # Phase-factored evaluation for scaling passes (graph/factored.py):
     # run on the [my, ry, mx, rx] grid so tap-derived math stays at
     # source resolution; bail back to the plain grid on any construct
-    # the factored tap lowering cannot express.
-    fac = plan_factorization(sh.out_h, sh.out_w, sh.in_h, sh.in_w)
+    # the factored tap lowering cannot express. Only NEAREST-filtered
+    # passes factor: LINEAR taps are phase-dependent on both axes, so
+    # factoring buys nothing and its full-resolution gather
+    # materializations cost more than the separable matmuls.
+    fac = None
+    if not ctx.program.preset.passes[cp.index].filter_linear:
+        fac = plan_factorization(sh.out_h, sh.out_w, sh.in_h, sh.in_w)
     if fac is not None:
         ctx.factored = fac
         try:
