@@ -103,9 +103,14 @@ def bench_config(name, preset, shape, batch, fmt, *, iters=8, warmup=2):
     for _ in range(5):
         t0 = time.time()
         n = 0
-        for _ in range(iters):
+        for i in range(iters):
             out = e.apply(produce())
             n += batch
+            # Bound the async in-flight depth: each queued execution
+            # holds its output + workspace in HBM, and 8 queued 1080p
+            # batch-32 programs can exceed capacity.
+            if i % 2 == 1:
+                float(sync(out))
         float(sync(out))
         window_fps.append(n / (time.time() - t0))
     window_fps.sort()

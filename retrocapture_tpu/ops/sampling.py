@@ -319,9 +319,9 @@ def sample2d_affine(
             return out
     ax = _axis_matrix_device(u_row, w, filter_linear, wrap_mode)
     ay = _axis_matrix_device(v_col, h, filter_linear, wrap_mode)
-    th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH)
     return jnp.einsum(
-        "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH
     ).astype(tex.dtype)
 
 
@@ -375,9 +375,9 @@ def sample2d_separable(
     h, w, _ = tex.shape
     ax = _axis_matrix_traced(u_row, w, filter_linear, wrap_mode)
     ay = _axis_matrix_traced(v_col, h, filter_linear, wrap_mode)
-    th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH)
     return jnp.einsum(
-        "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH
     ).astype(tex.dtype)
 
 
@@ -492,7 +492,7 @@ def _sample2d_banded(
                 )[..., None]
                 acc = acc + jnp.einsum(
                     "rxk,rxkc->rxc", oh, rowsamp,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=jax.lax.Precision.HIGH,
                 )
             return (i + 1, acc)
 
