@@ -33,7 +33,10 @@ TARGET_FPS = 5000.0
 CONFIGS = [
     # (name, preset path, source (h, w), batch, input_format)
     ("scanline-320", SHADERS / "interpolation/sharp-bilinear-scanlines.glslp", (240, 320), 64, "rgb"),
-    ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 32, "rgb"),
+    # Batch 16: the phase-factored xbr graph materializes ~1.2 GB of
+    # full-resolution planes per batch-32 execution; with pipelined
+    # dispatch that exceeds HBM.
+    ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 16, "rgb"),
     # 240p source (the CRT-shader operating point: the app feeds CRT
     # chains a logical-resolution downscale, FrameCapturePipeline.cpp:142)
     # rendered at a 1080p viewport.
@@ -142,28 +145,47 @@ def bench_config(name, preset, shape, batch, fmt, *, iters=8, warmup=2):
     }
 
 
-def main() -> int:
-    import gc
+def _run_one(name) -> dict:
+    for cfg in CONFIGS:
+        if cfg[0] == name:
+            n, preset, shape, batch, fmt = cfg
+            try:
+                return bench_config(n, preset, shape, batch, fmt)
+            except Exception as ex:  # noqa: BLE001
+                return {"name": n, "error": f"{type(ex).__name__}: {ex}"}
+    return {"name": name, "error": "unknown config"}
 
+
+def main() -> int:
+    import subprocess
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--config":
+        print(json.dumps(_run_one(sys.argv[2])))
+        return 0
+
+    # Each config runs in its own process with a settling gap: the
+    # device backend frees HBM asynchronously, and buffers retained
+    # across configs (even across clear_caches) were pushing later
+    # large-footprint configs into ResourceExhausted.
     results = []
-    for name, preset, shape, batch, fmt in CONFIGS:
+    for name, *_ in CONFIGS:
         try:
-            r = bench_config(name, preset, shape, batch, fmt)
+            out = subprocess.run(
+                [sys.executable, __file__, "--config", name],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            r = json.loads(line) if line.startswith("{") else {
+                "name": name,
+                "error": f"rc={out.returncode}: {out.stderr[-300:]}",
+            }
         except Exception as ex:  # noqa: BLE001
             r = {"name": name, "error": f"{type(ex).__name__}: {ex}"}
         results.append(r)
         print(f"# {r}", file=sys.stderr, flush=True)
-        # Drop the config's engine/jit caches and device buffers before
-        # the next config compiles: stacked live executables + buffers
-        # from earlier configs can push a large-footprint config over
-        # HBM capacity.
-        gc.collect()
-        try:
-            import jax
-
-            jax.clear_caches()
-        except Exception:  # noqa: BLE001
-            pass
+        time.sleep(15)
 
     good = [r["fps"] for r in results if "fps" in r]
     if good:

@@ -594,7 +594,10 @@ class Engine:
             ay = _axis_matrix_device(v_col, sh, True, "clamp_to_edge")
             return jax.vmap(lambda t: resample_u8(t, ay, ax))(outs_b)
 
-        def single(src, history, feedback, frame_count, time, pvals=None, blit=True):
+        def single(
+            src, history, feedback, frame_count, time, pvals=None, blit=True,
+            allow_factored=True,
+        ):
             return _run_chain(
                 prog,
                 shapes,
@@ -606,6 +609,7 @@ class Engine:
                 time,
                 pvals if pvals is not None else params,
                 blit=blit,
+                allow_factored=allow_factored,
             )
 
         def normalize(raw_b):
@@ -628,7 +632,14 @@ class Engine:
                     hist, fb, fc, tm = carry
                     # Viewport blit is stateless — hoisted out of the scan
                     # so it runs batched on the MXU instead of per frame.
-                    out, hist, fb = single(src, hist, fb, fc, tm, pvals, blit=False)
+                    # Factored evaluation is disabled inside the scan: its
+                    # concrete-index gathers compile pathologically under
+                    # lax.scan and run per-step instead of batched
+                    # (feedback-ghost regressed 1937 -> 223 fps).
+                    out, hist, fb = single(
+                        src, hist, fb, fc, tm, pvals, blit=False,
+                        allow_factored=False,
+                    )
                     return (hist, fb, fc + 1, tm + jnp.float32(0.016)), out
 
                 carry0 = (state.history, state.feedback, state.frame_count, state.time)
@@ -725,6 +736,7 @@ def _run_chain(
     time,
     params: dict[str, float],
     blit: bool = True,
+    allow_factored: bool = True,
 ):
     """Execute every pass of a compiled preset for one frame. FrameCount
     increments once per frame, not per pass (ShaderEngine.cpp:1685-1689);
@@ -781,6 +793,7 @@ def _run_chain(
                 for k, v in params.items()
             },
         )
+        ctx.allow_factored = allow_factored
         color = _run_pass(cp, ctx, sh)
         stored = framebuffer_store(
             color,
@@ -854,7 +867,10 @@ def _run_pass(cp, ctx: PassContext, sh: PassShapes):
     # factoring buys nothing and its full-resolution gather
     # materializations cost more than the separable matmuls.
     fac = None
-    if not ctx.program.preset.passes[cp.index].filter_linear:
+    if (
+        not ctx.program.preset.passes[cp.index].filter_linear
+        and getattr(ctx, "allow_factored", True)
+    ):
         fac = plan_factorization(sh.out_h, sh.out_w, sh.in_h, sh.in_w)
     if fac is not None:
         ctx.factored = fac

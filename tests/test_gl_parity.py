@@ -113,3 +113,12 @@ def test_parameter_override_parity(frame):
         params={"CURVATURE": 0.0},
     )
     assert p >= 30.0, p
+
+
+def test_crt_royale(frame):
+    """The largest named CRT family in the corpus (12 presets): its
+    cg-style alias-prefixed size uniforms and 2,756-line include headers
+    exercise the preprocessor+binding model end to end
+    (shaders_glsl/crt/shaders/crt-royale/)."""
+    p = run_pair(SH + "crt/crt-royale.glslp", frame, n_frames=2)
+    assert p >= 40.0, p
