@@ -215,6 +215,26 @@ def factored_affine_tap(fac: Factorization, sampler, aff, oh: int, ow: int):
 
     xt = axis_linear(u_row, w)
     yt = axis_linear(v_col, h)
+
+    # Run-constant fast path: all four corner index maps constant within
+    # the factorization runs → four source-resolution planes combined
+    # with concrete per-phase weights (no full-resolution gathers).
+    xr = [fac.x_run_values(i) for i, _ in xt]
+    yr = [fac.y_run_values(i) for i, _ in yt]
+    if all(r is not None for r in xr) and all(r is not None for r in yr):
+        out = None
+        for (iyl, wy), iyrun in zip(yt, yr):
+            wyf = jnp.asarray(wy[fac.yidx.reshape(-1)]).reshape(
+                fac.my, fac.ry, 1, 1, 1
+            )
+            for (ixl, wx), ixrun in zip(xt, xr):
+                wxf = jnp.asarray(wx[fac.xidx.reshape(-1)]).reshape(
+                    1, 1, fac.mx, fac.rx, 1
+                )
+                term = fac.take_runs(tex, iyrun, ixrun) * (wyf * wxf)
+                out = term if out is None else out + term
+        return out
+
     out = None
     for iyl, wy in yt:
         row_acc = None
