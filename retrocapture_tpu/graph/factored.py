@@ -12,10 +12,13 @@ dozens of full-resolution planes through HBM — the round-1 xbr chain
 moved ~1.6 GB/frame for a 320x240 source.
 
 Factored evaluation reshapes the output grid [OH, OW] into
-[my, ry, mx, rx]: axis runs x intra-run phase. Texture taps whose index
-maps are constant within runs become [my, 1, mx, 1] source-resolution
-planes; coordinate/phase math rides the phase axes as [my, ry, 1, 1] /
-[1, 1, mx, rx] broadcasts. NumPy broadcasting keeps every elementwise op
+[ry, rx, my, mx]: intra-run phase x axis runs, phases LEADING so the
+minor (tiled) dimensions stay large — phases-minor layouts put rx~6 in
+the lane dimension and ran every phase-mixing op at a few percent
+occupancy (xbr regressed to 23 fps). Texture taps whose index maps are
+constant within runs become [1, 1, my, mx] source-resolution planes;
+coordinate/phase math rides the phase axes as [ry, 1, my, 1] /
+[1, rx, 1, mx] broadcasts. NumPy broadcasting keeps every elementwise op
 at the smallest resolution that carries information, and XLA fuses the
 broadcasts — the laziness costs nothing and requires no evaluator
 changes. A final concrete row/column select maps the padded factored
@@ -104,49 +107,61 @@ class Factorization:
 
     # -- grid seeds ------------------------------------------------------
     def seed_arrays(self):
-        """(xg, yg) float32 true-pixel-index seeds shaped [1,1,mx,rx] and
-        [my,ry,1,1]. Barriered: embedded constant grids make XLA
+        """(xg, yg) float32 true-pixel-index seeds shaped [1,rx,1,mx] and
+        [ry,1,my,1]. Barriered: embedded constant grids make XLA
         constant-fold every broadcasted coordinate expression at compile
         time — single-threaded and O(pixels) per op, the round-1 155 s
         compile pathology (see _axis_matrix_device)."""
         xg = jax.lax.optimization_barrier(
-            jnp.asarray(self.xidx.astype(np.float32))
-        ).reshape(1, 1, self.mx, self.rx)
+            jnp.asarray(self.xidx.T.copy().astype(np.float32))
+        ).reshape(1, self.rx, 1, self.mx)
         yg = jax.lax.optimization_barrier(
-            jnp.asarray(self.yidx.astype(np.float32))
-        ).reshape(self.my, self.ry, 1, 1)
+            jnp.asarray(self.yidx.T.copy().astype(np.float32))
+        ).reshape(self.ry, 1, self.my, 1)
         return xg, yg
 
     @property
     def batch_shape(self):
-        return (self.my, self.ry, self.mx, self.rx)
+        return (self.ry, self.rx, self.my, self.mx)
 
     # -- factored gathers ------------------------------------------------
     def take_full(self, tex, iyw: np.ndarray, ixw: np.ndarray):
         """Materialize a tap at full factored resolution from wrapped
-        per-output index maps ([OH], [OW] np arrays): [my,ry,mx,rx,C]."""
-        rows = jnp.take(tex, jnp.asarray(iyw[self.yidx.reshape(-1)]), axis=0)
-        out = jnp.take(rows, jnp.asarray(ixw[self.xidx.reshape(-1)]), axis=1)
+        per-output index maps ([OH], [OW] np arrays): [ry,rx,my,mx,C]."""
+        ygrid = iyw[self.yidx.T.reshape(-1)]  # [ry*my]
+        xgrid = ixw[self.xidx.T.reshape(-1)]  # [rx*mx]
+        rows = jnp.take(tex, jnp.asarray(ygrid), axis=0)
+        out = jnp.take(rows, jnp.asarray(xgrid), axis=1)
         c = tex.shape[-1]
-        return out.reshape(self.my, self.ry, self.mx, self.rx, c)
+        out = out.reshape(self.ry, self.my, self.rx, self.mx, c)
+        return jnp.transpose(out, (0, 2, 1, 3, 4))
 
     def take_runs(self, tex, iy_runs: np.ndarray, ix_runs: np.ndarray):
         """Source-resolution tap from per-run wrapped indices:
-        [my,1,mx,1,C]."""
+        [1,1,my,mx,C]."""
         rows = jnp.take(tex, jnp.asarray(iy_runs), axis=0)
         out = jnp.take(rows, jnp.asarray(ix_runs), axis=1)
         c = tex.shape[-1]
-        return out.reshape(self.my, 1, self.mx, 1, c)
+        return out.reshape(1, 1, self.my, self.mx, c)
 
     # -- output flattening ----------------------------------------------
     def flatten(self, data):
         """Broadcastable factored data with a trailing channel dim →
-        [OH, OW, C]."""
+        [OH, OW, C]. One flat gather: the factored flat index separates
+        into a row part and a column part, so the [OH, OW] index grid is
+        built on device from two small constant vectors."""
         c = data.shape[-1] if data.ndim else 1
-        data = jnp.broadcast_to(data, (self.my, self.ry, self.mx, self.rx, c))
-        data = data.reshape((self.my * self.ry, self.mx * self.rx, c))
-        data = jnp.take(data, jnp.asarray(self.rowsel), axis=0)
-        return jnp.take(data, jnp.asarray(self.colsel), axis=1)
+        data = jnp.broadcast_to(data, (self.ry, self.rx, self.my, self.mx, c))
+        flat = data.reshape(self.ry * self.rx * self.my * self.mx, c)
+        # rowsel = yrun*ry + py; colsel = xrun*rx + px.
+        py, yr = self.rowsel % self.ry, self.rowsel // self.ry
+        px, xr = self.colsel % self.rx, self.colsel // self.rx
+        rowcomp = (py * self.rx * self.my + yr) * self.mx  # [OH]
+        colcomp = px * self.my * self.mx + xr  # [OW]
+        rc = jax.lax.optimization_barrier(jnp.asarray(rowcomp))
+        cc = jax.lax.optimization_barrier(jnp.asarray(colcomp))
+        idx = rc[:, None] + cc[None, :]
+        return jnp.take(flat, idx, axis=0)
 
 
 def factored_affine_tap(fac: Factorization, sampler, aff, oh: int, ow: int):
@@ -193,7 +208,7 @@ def factored_affine_tap(fac: Factorization, sampler, aff, oh: int, ow: int):
                         fac.take_full(tex, iy, ix), fac, vy, vx
                     )
                 valid = (vyr[:, None] & vxr[None, :]).astype(np.float32)
-                out = out * jnp.asarray(valid).reshape(fac.my, 1, fac.mx, 1, 1)
+                out = out * jnp.asarray(valid).reshape(1, 1, fac.my, fac.mx, 1)
             return out
         out = fac.take_full(tex, iy, ix)
         return _apply_border(out, fac, vy, vx) if (vx is not None or vy is not None) else out
@@ -224,12 +239,12 @@ def factored_affine_tap(fac: Factorization, sampler, aff, oh: int, ow: int):
     if all(r is not None for r in xr) and all(r is not None for r in yr):
         out = None
         for (iyl, wy), iyrun in zip(yt, yr):
-            wyf = jnp.asarray(wy[fac.yidx.reshape(-1)]).reshape(
-                fac.my, fac.ry, 1, 1, 1
+            wyf = jnp.asarray(wy[fac.yidx.T.reshape(-1)]).reshape(
+                fac.ry, 1, fac.my, 1, 1
             )
             for (ixl, wx), ixrun in zip(xt, xr):
-                wxf = jnp.asarray(wx[fac.xidx.reshape(-1)]).reshape(
-                    1, 1, fac.mx, fac.rx, 1
+                wxf = jnp.asarray(wx[fac.xidx.T.reshape(-1)]).reshape(
+                    1, fac.rx, 1, fac.mx, 1
                 )
                 term = fac.take_runs(tex, iyrun, ixrun) * (wyf * wxf)
                 out = term if out is None else out + term
@@ -238,13 +253,13 @@ def factored_affine_tap(fac: Factorization, sampler, aff, oh: int, ow: int):
     out = None
     for iyl, wy in yt:
         row_acc = None
-        wyf = jnp.asarray(wy[fac.yidx.reshape(-1)]).reshape(
-            fac.my, fac.ry, 1, 1, 1
+        wyf = jnp.asarray(wy[fac.yidx.T.reshape(-1)]).reshape(
+            fac.ry, 1, fac.my, 1, 1
         )
         for ixl, wx in xt:
             term = fac.take_full(tex, iyl, ixl)
-            wxf = jnp.asarray(wx[fac.xidx.reshape(-1)]).reshape(
-                1, 1, fac.mx, fac.rx, 1
+            wxf = jnp.asarray(wx[fac.xidx.T.reshape(-1)]).reshape(
+                1, fac.rx, 1, fac.mx, 1
             )
             term = term * wxf
             row_acc = term if row_acc is None else row_acc + term
@@ -257,9 +272,9 @@ def _apply_border(out, fac: Factorization, vy, vx):
     """Zero border-invalid taps on a full-factored plane."""
     valid = np.ones((), bool)
     if vy is not None:
-        valid = valid & vy[fac.yidx.reshape(-1)].reshape(fac.my, fac.ry, 1, 1)
+        valid = valid & vy[fac.yidx.T.reshape(-1)].reshape(fac.ry, 1, fac.my, 1)
     if vx is not None:
-        vv = vx[fac.xidx.reshape(-1)].reshape(1, 1, fac.mx, fac.rx)
+        vv = vx[fac.xidx.T.reshape(-1)].reshape(1, fac.rx, 1, fac.mx)
         valid = valid & vv
     return out * jnp.asarray(np.broadcast_to(valid, fac.batch_shape).astype(np.float32))[..., None]
 
