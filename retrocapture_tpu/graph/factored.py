@@ -296,6 +296,14 @@ def plan_factorization(
     f = Factorization(oh, ow, ys, yl, xs, xl)
     if f.ry < 2 and f.rx < 2:
         return None
+    # Only low phase-volume factorizations pay on this backend: tap-
+    # dominated passes with one scaling axis (the ntsc FIR under its
+    # viewport-height stretch: 274 -> 561 fps) win, while fragments with
+    # large phase-mixing sections (xbr's fp-driven edge blending) lose —
+    # their full-phase-volume ops don't fuse into few kernels and the
+    # chain runs several times slower than the plain grid.
+    if f.ry * f.rx > 8:
+        return None
     padded = f.my * f.ry * f.mx * f.rx
     if padded > max_overhead * oh * ow:
         return None

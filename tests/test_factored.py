@@ -31,21 +31,30 @@ def _run(preset, mode, frame, viewport):
     ],
 )
 def test_factored_matches_plain(preset):
+    # (512, 270): x ~1.3x (runs of 1-2), y ~2.8x -> ry*rx within the
+    # phase-volume budget so the factored path actually engages.
     frame = (np.random.default_rng(7).random((96, 128, 3)) * 255).astype(
         np.uint8
     )
-    on, act_on = _run(preset, "on", frame, (512, 384))
-    off, act_off = _run(preset, "off", frame, (512, 384))
+    on, act_on = _run(preset, "on", frame, (192, 270))
+    off, act_off = _run(preset, "off", frame, (192, 270))
     assert act_on and act_off
     assert np.array_equal(on, off)
     assert on.std() > 0.01  # non-flat
 
 
 def test_plan_factorization_geometry():
-    from retrocapture_tpu.graph.factored import plan_factorization
+    from retrocapture_tpu.graph.factored import (
+        Factorization,
+        _axis_runs,
+        plan_factorization,
+    )
 
-    f = plan_factorization(1080, 1920, 240, 320)
-    assert f is not None
+    # Full 2-D upscales exceed the phase-volume budget by policy.
+    assert plan_factorization(1080, 1920, 240, 320) is None
+    f = Factorization(
+        1080, 1920, *_axis_runs(1080, 240), *_axis_runs(1920, 320)
+    )
     assert f.my == 240 and f.mx == 320
     assert f.ry == 5 and f.rx == 6  # 4.5x runs pad to 5; 6x exact
     # Row/col selects must enumerate every output pixel exactly once.
@@ -56,6 +65,8 @@ def test_plan_factorization_geometry():
     # Downscale x with upscale y (the ntsc pass-2 geometry) still plans.
     f2 = plan_factorization(1080, 640, 240, 1280)
     assert f2 is not None and f2.ry == 5 and f2.rx == 1
+    f2b = plan_factorization(1080, 640, 240, 1280)
+    assert f2b is not None
 
 
 def test_no_factorization_when_nothing_repeats():
@@ -69,15 +80,16 @@ def test_factored_affine_tap_nearest_exact():
     import jax.numpy as jnp
 
     from retrocapture_tpu.graph.factored import (
+        Factorization,
+        _axis_runs,
         factored_affine_tap,
-        plan_factorization,
     )
     from retrocapture_tpu.ops import sampling as S
 
     rng = np.random.default_rng(3)
     h, w, oh, ow = 96, 128, 384, 512
     texn = rng.random((h, w, 4)).astype(np.float32)
-    fac = plan_factorization(oh, ow, h, w)
+    fac = Factorization(oh, ow, *_axis_runs(oh, h), *_axis_runs(ow, w))
 
     class Samp:
         tex = jnp.asarray(texn)
@@ -109,15 +121,16 @@ def test_factored_affine_tap_linear_matches_matrix():
     import jax.numpy as jnp
 
     from retrocapture_tpu.graph.factored import (
+        Factorization,
+        _axis_runs,
         factored_affine_tap,
-        plan_factorization,
     )
     from retrocapture_tpu.ops import sampling as S
 
     rng = np.random.default_rng(4)
     h, w, oh, ow = 96, 128, 384, 512
     texn = rng.random((h, w, 4)).astype(np.float32)
-    fac = plan_factorization(oh, ow, h, w)
+    fac = Factorization(oh, ow, *_axis_runs(oh, h), *_axis_runs(ow, w))
 
     class Samp:
         tex = jnp.asarray(texn)
