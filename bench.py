@@ -33,10 +33,7 @@ TARGET_FPS = 5000.0
 CONFIGS = [
     # (name, preset path, source (h, w), batch, input_format)
     ("scanline-320", SHADERS / "interpolation/sharp-bilinear-scanlines.glslp", (240, 320), 64, "rgb"),
-    # Batch 16: the phase-factored xbr graph materializes ~1.2 GB of
-    # full-resolution planes per batch-32 execution; with pipelined
-    # dispatch that exceeds HBM.
-    ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 16, "rgb"),
+    ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 32, "rgb"),
     # 240p source (the CRT-shader operating point: the app feeds CRT
     # chains a logical-resolution downscale, FrameCapturePipeline.cpp:142)
     # rendered at a 1080p viewport.

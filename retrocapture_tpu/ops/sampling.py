@@ -242,6 +242,171 @@ def _axis_stride(coord_f32: np.ndarray, n: int):
     return int(idx[0]), s
 
 
+def _rational_pattern(idx: np.ndarray, max_den: int = 1):
+    """Small integers (a, b, c) and per-element deltas in {0, 1} with
+    ``idx[j] == (a*j + c) // b + delta[j]`` for every j, or None, up to
+    the sparse ±1 flips float32 coordinate rounding introduces at texel
+    boundaries (the sampler floors f32 products, so e.g. (2j+1)/9
+    sequences flip at j≡4 mod 9).
+
+    max_den=1 by default: only integer-stride progressions (identity,
+    FIR offsets, integer decimation) lower to slices — measured on the
+    chip, b>1 phase-interleaved slices (concat) and repeat+slice both
+    LOSE to the MXU one-hot matmul for upscales (1.10 / 0.54 vs 0.33
+    ms/frame for a 240p->1080p LINEAR resample; pure-write floor 0.16),
+    so upscales stay on the matmul path."""
+    m = idx.shape[0]
+    if m < 2:
+        return None
+    j = np.arange(m, dtype=np.int64)
+    span = float(idx[-1] - idx[0])
+    for b in range(1, max_den + 1):
+        a = int(round(span * b / (m - 1)))
+        if a < 1:
+            continue
+        t = b * idx - a * j
+        if int(t.max()) - int(t.min()) <= 2 * b - 1:
+            c = int(t.max()) - b
+            delta = idx - (a * j + c) // b
+            return a, b, c, delta
+    return None
+
+
+_PAD_MODE = {
+    "clamp_to_edge": "edge",
+    "repeat": "wrap",
+    "mirrored_repeat": "symmetric",
+    # GL border color is (0,0,0,0): a zero pad IS the border contribution
+    # for both NEAREST (tap reads 0) and LINEAR (0-valued tap x lerp
+    # weight), so no valid-mask weighting is needed on this path.
+    "clamp_to_border": "constant",
+}
+
+
+def _phase_sliced_take(tex, pat, m: int, axis: int):
+    """``out[j] = take(tex, (a*j + c) // b, axis)`` for j in [0, m) via
+    b strided slices interleaved back together — gather-free and exact.
+    ``tex`` must already be padded so every index is in range."""
+    a, b, c = pat
+    nd = tex.ndim
+    if b == 1:
+        start = [0] * nd
+        limit = list(tex.shape)
+        stride = [1] * nd
+        start[axis] = c
+        limit[axis] = c + a * (m - 1) + 1
+        stride[axis] = a
+        return jax.lax.slice(tex, start, limit, stride)
+    mq = (m + b - 1) // b
+    parts = []
+    for r in range(b):
+        s = (a * r + c) // b
+        start = [0] * nd
+        limit = list(tex.shape)
+        stride = [1] * nd
+        start[axis] = s
+        limit[axis] = s + a * (mq - 1) + 1
+        stride[axis] = a
+        parts.append(jax.lax.slice(tex, start, limit, stride))
+    out = jnp.stack(parts, axis=axis + 1)
+    out = out.reshape(parts[0].shape[:axis] + (mq * b,) + parts[0].shape[axis + 1 :])
+    if mq * b != m:
+        out = jax.lax.slice_in_dim(out, 0, m, axis=axis)
+    return out
+
+
+def _axis_slice_plan(coord_f32: np.ndarray, n: int, filter_linear: bool, wrap: str):
+    """Per-axis tap plan for the slice path: a list of
+    ``(pattern, weight_or_None)`` taps plus the (pad_lo, pad_hi) the
+    texture axis needs, or None when the index progression has no small
+    rational pattern. Index/weight math mirrors _axis_matrix bit-for-bit
+    (same float32 ops), so results are exact."""
+    m = coord_f32.shape[0]
+    if m < 2:
+        return None
+    if not filter_linear:
+        idx = np.floor(coord_f32 * np.float32(n)).astype(np.int64)
+        pat = _rational_pattern(idx)
+        if pat is None:
+            return None
+        a, b, c, delta = pat
+        if not delta.any():
+            taps = [((a, b, c), None)]
+        else:
+            m0 = (delta == 0).astype(np.float32)
+            taps = [((a, b, c), m0), ((a, b, c + b), np.float32(1.0) - m0)]
+        lo, hi = int(idx.min()), int(idx.max())
+    else:
+        x = coord_f32 * np.float32(n) - np.float32(0.5)
+        x0 = np.floor(x).astype(np.int64)
+        fx = (x - x0).astype(np.float32)
+        pat = _rational_pattern(x0)
+        if pat is None:
+            return None
+        a, b, c, delta = pat
+        w0 = np.float32(1.0) - fx
+        # Tap pair (x0, x0+1) relative to base+delta: combine the shared
+        # delta masks into per-offset weight vectors (<=3 slice takes).
+        m0 = (delta == 0).astype(np.float32)
+        m1 = np.float32(1.0) - m0
+        cand = [
+            (c, w0 * m0),
+            (c + b, w0 * m1 + fx * m0),
+            (c + 2 * b, fx * m1),
+        ]
+        taps = [((a, b, cc), wv) for cc, wv in cand if np.any(wv != 0.0)]
+        if not taps:
+            taps = [((a, b, c), w0)]
+        lo, hi = int(x0.min()), int(x0.max()) + 1
+    # The base pattern can sit one below the real index range (delta=1
+    # positions); phase starts floor-divide, so cover the pattern's own
+    # minimum too.
+    lo = min(lo, taps[0][0][2] // taps[0][0][1])
+    pad_lo = max(0, -lo)
+    # Ragged-phase slices read up to ceil(m/b) elements per phase: cover
+    # the padded tail too.
+    a, b, c = taps[-1][0]
+    mq = (m + b - 1) // b
+    max_read = max((a * r + c) // b + a * (mq - 1) for r in range(b))
+    pad_hi = max(0, hi - (n - 1), max_read - (n - 1))
+    if pad_lo > 2 * n + 64 or pad_hi > 2 * n + 64:
+        return None
+    return taps, pad_lo, pad_hi
+
+
+def _separable_slices(tex, u_row: np.ndarray, v_col: np.ndarray, filter_linear: bool, wrap_mode: str):
+    """Separable sample via phase-interleaved strided slices + 1D weight
+    FMAs — the MXU-free lowering for affine taps with rational texel
+    progressions (NEAREST and LINEAR). Exact float32 (no bf16 matmul
+    rounding). Returns [oh, ow, C] or None when not applicable."""
+    h, w, _ = tex.shape
+    xplan = _axis_slice_plan(u_row, w, filter_linear, wrap_mode)
+    if xplan is None:
+        return None
+    yplan = _axis_slice_plan(v_col, h, filter_linear, wrap_mode)
+    if yplan is None:
+        return None
+    ow, oh = u_row.shape[0], v_col.shape[0]
+    xtaps, xlo, xhi = xplan
+    ytaps, ylo, yhi = yplan
+    if any((xlo, xhi, ylo, yhi)):
+        mode = _PAD_MODE[wrap_mode]
+        tex = jnp.pad(tex, ((ylo, yhi), (xlo, xhi), (0, 0)), mode=mode)
+    rows = None
+    for (a, b, c), wy in ytaps:
+        t = _phase_sliced_take(tex, (a, b, c + b * ylo), oh, 0)
+        if wy is not None:
+            t = t * jnp.asarray(wy)[:, None, None]
+        rows = t if rows is None else rows + t
+    out = None
+    for (a, b, c), wx in xtaps:
+        t = _phase_sliced_take(rows, (a, b, c + b * xlo), ow, 1)
+        if wx is not None:
+            t = t * jnp.asarray(wx)[None, :, None]
+        out = t if out is None else out + t
+    return out
+
+
 def _nearest_stride_slice(tex, u_row, v_col, wrap_mode: str):
     """NEAREST separable tap whose per-axis texel indices advance with a
     constant integer stride (identity taps, integer-offset FIR taps,
@@ -317,6 +482,9 @@ def sample2d_affine(
         out = _nearest_stride_slice(tex, u_row, v_col, wrap_mode)
         if out is not None:
             return out
+    out = _separable_slices(tex, u_row, v_col, filter_linear, wrap_mode)
+    if out is not None:
+        return out.astype(tex.dtype)
     ax = _axis_matrix_device(u_row, w, filter_linear, wrap_mode)
     ay = _axis_matrix_device(v_col, h, filter_linear, wrap_mode)
     th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH)
@@ -530,6 +698,13 @@ def sample2d(
         sep = _separable_rows(np.asarray(u, np.float32), np.asarray(v, np.float32))
         if sep is not None:
             u_row, v_col = sep
+            if not filter_linear:
+                out = _nearest_stride_slice(tex, u_row, v_col, wrap_mode)
+                if out is not None:
+                    return out
+            out = _separable_slices(tex, u_row, v_col, filter_linear, wrap_mode)
+            if out is not None:
+                return out.astype(tex.dtype)
             ax = _axis_matrix_device(u_row, w, filter_linear, wrap_mode)
             ay = _axis_matrix_device(v_col, h, filter_linear, wrap_mode)
             th = jnp.einsum(
