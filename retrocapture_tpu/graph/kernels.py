@@ -166,8 +166,305 @@ def _mattias_kernel(ctx, sh):
     return jnp.concatenate([col, jnp.ones((oh, ow, 1), jnp.float32)], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# xbr-lv2 (shaders_glsl/xbr/shaders/xbr-lv2.glsl): the whole tap + edge-
+# detection section is phase-independent — every NEAREST tap index is an
+# integer offset of the base source texel — so it runs at SOURCE
+# resolution; only the fp-ramp blend is full-res, its ramps are 1D outer
+# sums, and the handoff is ONE stacked 19-channel NEAREST upsample on the
+# MXU instead of 21 per-tap full-res resamples (the generic-path cost).
+
+_XBR_RGBW = np.array([14.352, 28.176, 5.472], np.float32)
+# vec4 line constants (xbr-lv2.glsl:182-191)
+_XBR_AO = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
+_XBR_BO = np.array([1.0, 1.0, -1.0, -1.0], np.float32)
+_XBR_CO = np.array([1.5, 0.5, -0.5, 0.5], np.float32)
+_XBR_AX = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
+_XBR_BX = np.array([0.5, 2.0, -0.5, -2.0], np.float32)
+_XBR_CX = np.array([1.0, 1.0, -0.5, 0.0], np.float32)
+_XBR_AY = np.array([1.0, -1.0, -1.0, 1.0], np.float32)
+_XBR_BY = np.array([2.0, 0.5, -2.0, -0.5], np.float32)
+_XBR_CY = np.array([2.0, 0.0, -1.0, 0.5], np.float32)
+_XBR_CI = np.array([0.25, 0.25, 0.25, 0.25], np.float32)
+_XBR_SCALE = np.float32(3.0)  # #define XBR_SCALE 3.0 (pragma commented out)
+
+# (name, dx texels, dy texels) for the 21 neighbourhood taps.
+_XBR_TAPS = [
+    ("A1", -1, -2), ("B1", 0, -2), ("C1", 1, -2),
+    ("A", -1, -1), ("B", 0, -1), ("C", 1, -1),
+    ("D", -1, 0), ("E", 0, 0), ("F", 1, 0),
+    ("G", -1, 1), ("H", 0, 1), ("I", 1, 1),
+    ("G5", -1, 2), ("H5", 0, 2), ("I5", 1, 2),
+    ("A0", -2, -1), ("D0", -2, 0), ("G0", -2, 1),
+    ("C4", 2, -1), ("F4", 2, 0), ("I4", 2, 1),
+]
+
+
+def _xbr_axis_maps(m: int, n: int):
+    """Concrete replication of the evaluator's coordinate math for one
+    axis: (base NEAREST index [m], fract phase [m], per-offset tap
+    indices {k: [m]}). Tap indices mirror the affine-metadata path
+    (values.combine_affine does constant arithmetic in f64; the sampler
+    then builds the coordinate row in f64 and casts once to f32,
+    sample2d_affine), while fp mirrors the f32 data path
+    (fract(texCoord*TextureSize) computed stepwise on f32 grids)."""
+    j = np.arange(m, dtype=np.float64)
+    a = 1.0 / m
+    fn = np.float32(n)
+    base = None
+    taps = {}
+    for k in (-2, -1, 0, 1, 2):
+        c = 0.5 / m + k * (1.0 / n)
+        row = (a * j + c).astype(np.float32)
+        taps[k] = np.floor(row * fn).astype(np.int64)
+    base = taps[0]
+    g = np.arange(m, dtype=np.float32)
+    coord = (g + np.float32(0.5)) * np.float32(1.0 / m)
+    prod = coord * fn
+    fp = prod - np.floor(prod)
+    return base, fp.astype(np.float32), taps
+
+
+def _xbr_lv2_kernel(ctx, sh):
+    cfg = ctx.program.preset.passes[ctx.i]
+    if cfg.filter_linear or cfg.wrap_mode != "clamp_to_edge":
+        return None
+    params = ctx.params
+
+    def p(name, default):
+        v = params.get(name, np.float32(default))
+        if not isinstance(v, (int, float, np.generic)):
+            return None  # traced parameter: fall back to the evaluator
+        return np.float32(v)
+
+    eq_thr = p("XBR_EQ_THRESHOLD", 15.0)
+    lv2_cf = p("XBR_LV2_COEFFICIENT", 2.0)
+    small = p("small_details", 0.0)
+    y_weight = p("XBR_Y_WEIGHT", 48.0)
+    if None in (eq_thr, lv2_cf, small, y_weight):
+        return None
+
+    tex = ctx.input_binding.tex
+    h, w = int(tex.shape[0]), int(tex.shape[1])
+    ow, oh = ctx.out_size
+    bx, fpx, tx = _xbr_axis_maps(ow, w)
+    by, fpy, ty = _xbr_axis_maps(oh, h)
+    # x-exactness gate: every x-tap's f32-floored index must equal
+    # clamp(base + k) everywhere (true whenever ow/w is an integer ratio,
+    # e.g. 320->1920), so x offsets factor to source-column shifts. The
+    # y-axis needs no such property: each of the 5 y offsets gets its own
+    # exact one-hot row gather below, so y f32 boundary flips (e.g.
+    # 240->1080 flips ~20 rows per offset) are reproduced bit-for-bit.
+    for k, arr in tx.items():
+        if not np.array_equal(np.clip(arr, 0, w - 1), np.clip(bx + k, 0, w - 1)):
+            return None
+
+    # Colors ride as exact small integers (RGBA8 levels x255) so every
+    # one-hot matmul runs at DEFAULT bf16 precision losslessly.
+    tex255 = tex[..., :3].astype(jnp.float32) * 255.0
+    iw_h = jnp.arange(h, dtype=jnp.int32)[None, :]
+    ytex = {}
+    for k in (-2, -1, 0, 1, 2):
+        idx = jax.lax.optimization_barrier(
+            jnp.asarray(np.clip(ty[k], 0, h - 1).astype(np.int32))
+        )
+        My = (iw_h == idx[:, None]).astype(jnp.float32)  # [oh, h]
+        ytex[k] = jnp.einsum(
+            "Hs,swc->Hwc", My, tex255, preferred_element_type=jnp.float32
+        )  # [oh, w, 3] exact ints
+
+    inv255 = np.float32(1.0 / 255.0)
+    pads = {
+        k: jnp.pad(v, ((0, 0), (2, 2), (0, 0)), mode="edge") for k, v in ytex.items()
+    }
+
+    def tap(dx, dy):  # [oh, w, 3] plane: exact y map, x source-shift
+        return jax.lax.slice(
+            pads[dy], (0, 2 + dx, 0), (oh, 2 + dx + w, 3)
+        ) * inv255
+
+    t = {name: tap(dx, dy) for name, dx, dy in _XBR_TAPS}
+    rgbw = jnp.asarray(_XBR_RGBW)
+
+    def lum(x):
+        return x[..., 0] * rgbw[0] + x[..., 1] * rgbw[1] + x[..., 2] * rgbw[2]
+
+    L = {name: lum(v) for name, v in t.items()}
+
+    def v4(*names):
+        return jnp.stack([L[n] for n in names], axis=-1)
+
+    b4 = v4("B", "D", "H", "F")
+    c4 = v4("C", "A", "G", "I")
+    d4 = v4("D", "H", "F", "B")
+    e4 = jnp.stack([L["E"]] * 4, axis=-1)
+    f4_ = v4("F", "B", "D", "H")
+    g4 = v4("G", "I", "C", "A")
+    h4 = v4("H", "F", "B", "D")
+    i4_ = v4("I", "C", "A", "G")
+    if small < 0.5:
+        i4 = v4("I4", "C1", "A0", "G5")
+        i5 = v4("I5", "C4", "A1", "G0")
+        h5 = v4("H5", "F4", "B1", "D0")
+    else:
+        # mul(mat4x3(A,B,C,D), y_weight*Y): rows are dot(tap, y_weight*Y)
+        Y = jnp.asarray(np.array([0.2126, 0.7152, 0.0722], np.float32)) * jnp.float32(y_weight)
+
+        def lumY(x):
+            return x[..., 0] * Y[0] + x[..., 1] * Y[1] + x[..., 2] * Y[2]
+
+        i4 = jnp.stack([lumY(t[n]) for n in ("I4", "C1", "A0", "G5")], axis=-1)
+        i5 = jnp.stack([lumY(t[n]) for n in ("I5", "C4", "A1", "G0")], axis=-1)
+        h5 = jnp.stack([lumY(t[n]) for n in ("H5", "F4", "B1", "D0")], axis=-1)
+    f44 = jnp.zeros_like(i4)  # `vec4 f4` is never assigned (zero-init)
+
+    def df(a, b):
+        return jnp.abs(a - b)
+
+    def diff(a, b):
+        return (a != b).astype(jnp.float32)
+
+    def eq(a, b):
+        return (df(a, b) <= eq_thr).astype(jnp.float32)
+
+    def neq(a, b):
+        return np.float32(1.0) - eq(a, b)
+
+    irlv0 = diff(e4, f4_) * diff(e4, h4)
+    # CORNER_C (the compiled-in variant, xbr-lv2.glsl:41,307-309)
+    irlv1 = irlv0 * (
+        neq(f4_, b4) * neq(f4_, c4)
+        + neq(h4, d4) * neq(h4, g4)
+        + eq(e4, i4_) * (neq(f4_, f44) * neq(f4_, i4) + neq(h4, h5) * neq(h4, i5))
+        + eq(e4, g4)
+        + eq(e4, c4)
+    )
+    irlv2l = diff(e4, g4) * diff(d4, g4)
+    irlv2u = diff(e4, c4) * diff(b4, c4)
+
+    if small < 0.5:
+        wd1 = df(e4, c4) + df(e4, g4) + df(i4_, h5) + df(i4_, f44) + 4.0 * df(h4, f4_)
+        wd2 = df(h4, d4) + df(h4, i5) + df(f4_, i4) + df(f4_, b4) + 4.0 * df(e4, i4_)
+    else:
+        wd1 = (
+            df(e4, c4) + df(e4, g4) + df(i4_, f44) + df(i4_, h5)
+            + df(b4, d4) + df(i4, i5) + 2.0 * df(h4, f4_)
+        )
+        wd2 = (
+            df(h4, d4) + df(h4, i5) + df(f4_, b4) + df(f4_, i4)
+            + df(g4, h5) + df(c4, f44) + 2.0 * df(e4, i4_)
+        )
+
+    edri = (wd2 >= wd1).astype(jnp.float32) * irlv0
+    edr = (wd2 >= wd1 + np.float32(0.1)).astype(jnp.float32) * (
+        irlv1 >= np.float32(0.5)
+    ).astype(jnp.float32)
+    edr_l = (df(h4, c4) >= lv2_cf * df(f4_, g4)).astype(jnp.float32) * irlv2l * edr
+    edr_u = (df(f4_, g4) >= lv2_cf * df(h4, c4)).astype(jnp.float32) * irlv2u * edr
+    px = (df(e4, h4) >= df(e4, f4_)).astype(jnp.float32)
+
+    # Pack the five binary vec4 flags into 4 integer-code channels
+    # (0..31, exact in f32) so the upsample moves 4 planes, not 20.
+    code = edri + 2.0 * edr + 4.0 * edr_l + 8.0 * edr_u + 16.0 * px
+
+    # Handoff to full width: stack the 19 per-[oh, w] planes
+    # channel-major and contract the x axis with a one-hot column-select
+    # matrix — einsum("chs,Ws->chW") lands directly in [19, oh, ow]
+    # layout with NO full-res transpose. Colors are ints x255 and codes
+    # <= 31, exact in DEFAULT bf16.
+    def tap_raw(dx, dy):  # [oh, w, 3] plane, exact x255 integers
+        return jax.lax.slice(pads[dy], (0, 2 + dx, 0), (oh, 2 + dx + w, 3))
+
+    E255, H255, F255, B255, D255 = (
+        ytex[0], ytex[1], tap_raw(1, 0), ytex[-1], tap_raw(-1, 0)
+    )
+    planes = [
+        E255[..., 0], E255[..., 1], E255[..., 2],
+        H255[..., 0], H255[..., 1], H255[..., 2],
+        F255[..., 0], F255[..., 1], F255[..., 2],
+        B255[..., 0], B255[..., 1], B255[..., 2],
+        D255[..., 0], D255[..., 1], D255[..., 2],
+        code[..., 0], code[..., 1], code[..., 2], code[..., 3],
+    ]
+    S = jnp.stack(planes, axis=0)  # [19, oh, w]
+    bxi = jax.lax.optimization_barrier(
+        jnp.asarray(np.clip(bx, 0, w - 1).astype(np.int32))
+    )
+    Ax = (jnp.arange(w, dtype=jnp.int32)[None, :] == bxi[:, None]).astype(
+        jnp.float32
+    )  # [ow, w]
+    up = jnp.einsum("chs,Ws->chW", S, Ax, preferred_element_type=jnp.float32)
+
+    inv = np.float32(1.0 / 255.0)
+    E = [up[i] * inv for i in range(3)]
+    Hc = [up[3 + i] * inv for i in range(3)]
+    Fc = [up[6 + i] * inv for i in range(3)]
+    Bc = [up[9 + i] * inv for i in range(3)]
+    Dc = [up[12 + i] * inv for i in range(3)]
+    ucode = [up[15 + i] for i in range(4)]
+    edri_f, edr_f, edrl_f, edru_f, px_f = [], [], [], [], []
+    for ci in range(4):
+        r = ucode[ci]
+        edri_f.append(jnp.remainder(r, 2.0))
+        r = jnp.floor(r * 0.5)
+        edr_f.append(jnp.remainder(r, 2.0))
+        r = jnp.floor(r * 0.5)
+        edrl_f.append(jnp.remainder(r, 2.0))
+        r = jnp.floor(r * 0.5)
+        edru_f.append(jnp.remainder(r, 2.0))
+        px_f.append(jnp.floor(r * 0.5))
+
+    # fp ramps: separable 1D outer sums, clamped (fx45/fx30/fx60/fx45i).
+    fpyj = jnp.asarray(fpy)[:, None]
+    fpxj = jnp.asarray(fpx)[None, :]
+    delta = np.float32(1.0) / _XBR_SCALE
+    delta_l = np.array([0.5, 1.0, 0.5, 1.0], np.float32) / _XBR_SCALE
+    delta_u = np.array([1.0, 0.5, 1.0, 0.5], np.float32) / _XBR_SCALE
+    d4v = np.full(4, delta, np.float32)
+
+    def ramp(A, B, C, d, ci, extra=0.0):
+        x = (
+            A[ci] * fpyj + B[ci] * fpxj + np.float32(d[ci] - C[ci] - extra)
+        ) * np.float32(1.0 / (2.0 * d[ci]))
+        return jnp.clip(x, 0.0, 1.0)
+
+    maximos = []
+    for ci in range(4):
+        m = jnp.maximum(
+            jnp.maximum(
+                edrl_f[ci] * ramp(_XBR_AX, _XBR_BX, _XBR_CX, delta_l, ci),
+                edru_f[ci] * ramp(_XBR_AY, _XBR_BY, _XBR_CY, delta_u, ci),
+            ),
+            jnp.maximum(
+                edr_f[ci] * ramp(_XBR_AO, _XBR_BO, _XBR_CO, d4v, ci),
+                edri_f[ci] * ramp(_XBR_AO, _XBR_BO, _XBR_CO, d4v, ci, extra=0.25),
+            ),
+        )
+        maximos.append(m)
+
+    def mixc(a, b, m):  # per-channel-plane mix
+        return [ac + (bc - ac) * m for ac, bc in zip(a, b)]
+
+    Tx = mixc(Hc, Fc, px_f[0])
+    Tz = mixc(Bc, Dc, px_f[2])
+    Ty = mixc(Fc, Bc, px_f[1])
+    Tw = mixc(Dc, Hc, px_f[3])
+    res1 = mixc(mixc(E, Tx, maximos[0]), Tz, maximos[2])
+    res2 = mixc(mixc(E, Ty, maximos[1]), Tw, maximos[3])
+
+    def c_df(c1, c2):
+        return (
+            jnp.abs(c1[0] - c2[0]) + jnp.abs(c1[1] - c2[1]) + jnp.abs(c1[2] - c2[2])
+        )
+
+    sel = (c_df(E, res2) >= c_df(E, res1)).astype(jnp.float32)
+    res = mixc(res1, res2, sel)
+    return jnp.stack(res + [jnp.ones((oh, ow), jnp.float32)], axis=-1)
+
+
 _REGISTRY = {
     "crt-mattias.glsl": _mattias_kernel,
+    "xbr-lv2.glsl": _xbr_lv2_kernel,
 }
 
 
