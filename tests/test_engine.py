@@ -8,6 +8,8 @@ mocking internals.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # whole-chain CPU compiles
+
 from retrocapture_tpu import Engine
 
 SH = "/root/reference/shaders/shaders_glsl/"

@@ -39,9 +39,12 @@ def _have_oracle() -> bool:
     return ORACLE_BIN.is_file()
 
 
-pytestmark = pytest.mark.skipif(
-    not _have_oracle(), reason="gloracle (software GL) unavailable"
-)
+pytestmark = [
+    pytest.mark.oracle,
+    pytest.mark.skipif(
+        not _have_oracle(), reason="gloracle (software GL) unavailable"
+    ),
+]
 
 
 @pytest.fixture(scope="module")
