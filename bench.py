@@ -171,7 +171,11 @@ def main() -> int:
                 [sys.executable, __file__, "--config", name],
                 capture_output=True,
                 text=True,
-                timeout=1800,
+                # Compile-server latency through the tunnel is heavy-
+                # tailed (observed 100 s..20 min for identical HLO);
+                # give each config room so a slow-compile window can't
+                # drop a config from the geomean.
+                timeout=3300,
             )
             line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
             r = json.loads(line) if line.startswith("{") else {
