@@ -42,6 +42,45 @@ class FactoredBailout(Exception):
     plain [OH, OW] grid."""
 
 
+def _take_axis(arr, idx: np.ndarray, axis: int):
+    """``arr`` indexed along ``axis`` by a concrete integer vector,
+    lowered gather-free: phase-interleaved strided slices following the
+    index progression's rational pattern (plus a concrete 0/1-mask blend
+    for the sparse off-pattern positions), with edge padding supplying
+    out-of-pattern read room. Falls back to ``jnp.take`` only when no
+    small pattern exists (never for run/phase index maps)."""
+    from retrocapture_tpu.ops.sampling import _phase_sliced_take, _rational_pattern
+
+    idx = np.asarray(idx, np.int64)
+    m = idx.shape[0]
+    n = arr.shape[axis]
+    pat = _rational_pattern(idx, max_den=24) if m >= 2 else None
+    if pat is None:
+        return jnp.take(arr, jnp.asarray(idx), axis=axis)
+    a, b, c, delta = pat
+    has_delta = bool(delta.any())
+    lo = min(int(idx.min()), c // b)
+    mq = (m + b - 1) // b
+    cmax = c + (b if has_delta else 0)
+    max_read = max((a * r + cmax) // b + a * (mq - 1) for r in range(b))
+    pad_lo = max(0, -lo)
+    pad_hi = max(0, int(idx.max()) - (n - 1), max_read - (n - 1))
+    if pad_lo or pad_hi:
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (pad_lo, pad_hi)
+        arr = jnp.pad(arr, widths, mode="edge")
+    t0 = _phase_sliced_take(arr, (a, b, c + b * pad_lo), m, axis)
+    if not has_delta:
+        return t0
+    t1 = _phase_sliced_take(arr, (a, b, c + b + b * pad_lo), m, axis)
+    shape = [1] * arr.ndim
+    shape[axis] = m
+    # where-select, not 0/1-weight arithmetic: float-framebuffer data
+    # carries NaNs and 0*NaN would bleed them across rows.
+    mk = jnp.asarray(delta == 1).reshape(shape)
+    return jnp.where(mk, t1, t0)
+
+
 def _axis_runs(n_out: int, n_src: int):
     """Runs of output pixels sharing a source texel for the identity
     map, measured with the samplers' own float32 math
@@ -130,8 +169,8 @@ class Factorization:
         per-output index maps ([OH], [OW] np arrays): [ry,rx,my,mx,C]."""
         ygrid = iyw[self.yidx.T.reshape(-1)]  # [ry*my]
         xgrid = ixw[self.xidx.T.reshape(-1)]  # [rx*mx]
-        rows = jnp.take(tex, jnp.asarray(ygrid), axis=0)
-        out = jnp.take(rows, jnp.asarray(xgrid), axis=1)
+        rows = _take_axis(tex, ygrid, 0)
+        out = _take_axis(rows, xgrid, 1)
         c = tex.shape[-1]
         out = out.reshape(self.ry, self.my, self.rx, self.mx, c)
         return jnp.transpose(out, (0, 2, 1, 3, 4))
@@ -139,29 +178,28 @@ class Factorization:
     def take_runs(self, tex, iy_runs: np.ndarray, ix_runs: np.ndarray):
         """Source-resolution tap from per-run wrapped indices:
         [1,1,my,mx,C]."""
-        rows = jnp.take(tex, jnp.asarray(iy_runs), axis=0)
-        out = jnp.take(rows, jnp.asarray(ix_runs), axis=1)
+        rows = _take_axis(tex, iy_runs, 0)
+        out = _take_axis(rows, ix_runs, 1)
         c = tex.shape[-1]
         return out.reshape(1, 1, self.my, self.mx, c)
 
     # -- output flattening ----------------------------------------------
     def flatten(self, data):
         """Broadcastable factored data with a trailing channel dim →
-        [OH, OW, C]. One flat gather: the factored flat index separates
-        into a row part and a column part, so the [OH, OW] index grid is
-        built on device from two small constant vectors."""
+        [OH, OW, C]. Separable: transpose the factored grid to
+        (run-major, phase-minor) per axis and take rowsel/colsel along
+        each axis as phase-interleaved strided slices (pure reshapes for
+        uniform integer ratios) — jnp.take gathers here ran at TPU
+        gather speed and dominated factored chains (ntsc pass1 moved
+        157 MB/batch through two gathers)."""
         c = data.shape[-1] if data.ndim else 1
         data = jnp.broadcast_to(data, (self.ry, self.rx, self.my, self.mx, c))
-        flat = data.reshape(self.ry * self.rx * self.my * self.mx, c)
-        # rowsel = yrun*ry + py; colsel = xrun*rx + px.
-        py, yr = self.rowsel % self.ry, self.rowsel // self.ry
-        px, xr = self.colsel % self.rx, self.colsel // self.rx
-        rowcomp = (py * self.rx * self.my + yr) * self.mx  # [OH]
-        colcomp = px * self.my * self.mx + xr  # [OW]
-        rc = jax.lax.optimization_barrier(jnp.asarray(rowcomp))
-        cc = jax.lax.optimization_barrier(jnp.asarray(colcomp))
-        idx = rc[:, None] + cc[None, :]
-        return jnp.take(flat, idx, axis=0)
+        # [ry, rx, my, mx, C] -> [(my ry), (mx rx), C]
+        r = jnp.transpose(data, (2, 0, 3, 1, 4)).reshape(
+            self.my * self.ry, self.mx * self.rx, c
+        )
+        out = _take_axis(r, self.rowsel, 0)
+        return _take_axis(out, self.colsel, 1)
 
 
 def factored_affine_tap(fac: Factorization, sampler, aff, oh: int, ow: int):

@@ -265,7 +265,12 @@ def _rational_pattern(idx: np.ndarray, max_den: int = 1):
         if a < 1:
             continue
         t = b * idx - a * j
-        if int(t.max()) - int(t.min()) <= 2 * b - 1:
+        span_t = int(t.max()) - int(t.min())
+        if span_t <= b - 1:
+            # exact fit: delta identically zero
+            c = int(t.max())
+            return a, b, c, np.zeros(m, np.int64)
+        if span_t <= 2 * b - 1:
             c = int(t.max()) - b
             delta = idx - (a * j + c) // b
             return a, b, c, delta
@@ -392,19 +397,33 @@ def _separable_slices(tex, u_row: np.ndarray, v_col: np.ndarray, filter_linear: 
     if any((xlo, xhi, ylo, yhi)):
         mode = _PAD_MODE[wrap_mode]
         tex = jnp.pad(tex, ((ylo, yhi), (xlo, xhi), (0, 0)), mode=mode)
-    rows = None
-    for (a, b, c), wy in ytaps:
-        t = _phase_sliced_take(tex, (a, b, c + b * ylo), oh, 0)
-        if wy is not None:
-            t = t * jnp.asarray(wy)[:, None, None]
-        rows = t if rows is None else rows + t
-    out = None
-    for (a, b, c), wx in xtaps:
-        t = _phase_sliced_take(rows, (a, b, c + b * xlo), ow, 1)
-        if wx is not None:
-            t = t * jnp.asarray(wx)[None, :, None]
-        out = t if out is None else out + t
-    return out
+    def axis_take(src, taps, pad, m, axis):
+        # NEAREST delta pair: a pure row select (0/1 complementary
+        # masks) — where-select rather than 0*NaN-hazardous weighting.
+        if (
+            not filter_linear
+            and len(taps) == 2
+            and taps[0][1] is not None
+        ):
+            (p0, w0), (p1, _) = taps
+            t0 = _phase_sliced_take(src, (p0[0], p0[1], p0[2] + p0[1] * pad), m, axis)
+            t1 = _phase_sliced_take(src, (p1[0], p1[1], p1[2] + p1[1] * pad), m, axis)
+            shape = [1, 1, 1]
+            shape[axis] = m
+            mk = jnp.asarray(w0 == 1.0).reshape(shape)
+            return jnp.where(mk, t0, t1)
+        acc = None
+        for (a, b, c), wv in taps:
+            t = _phase_sliced_take(src, (a, b, c + b * pad), m, axis)
+            if wv is not None:
+                shape = [1, 1, 1]
+                shape[axis] = m
+                t = t * jnp.asarray(wv).reshape(shape)
+            acc = t if acc is None else acc + t
+        return acc
+
+    rows = axis_take(tex, ytaps, ylo, oh, 0)
+    return axis_take(rows, xtaps, xlo, ow, 1)
 
 
 def _nearest_stride_slice(tex, u_row, v_col, wrap_mode: str):
