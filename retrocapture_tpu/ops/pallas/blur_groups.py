@@ -38,8 +38,9 @@ import numpy as np
 
 __all__ = ["blur5x5_groups", "blur_groups_fits", "BlurGroup"]
 
-TX = 128  # output pixels per tile row (lane dim; Mosaic slice-aligned)
-TY = 8  # output rows per tile
+TX = 128  # output pixels per tile row (lane dim; take_along_axis is
+# single-vreg along the gather dim, so TX cannot exceed 128)
+TY = 8  # output rows per tile (TY=16 measured neutral: cost is per-row)
 _KB_CAP = 32  # max band rows per channel window
 _VMEM_TEX_BYTES = 6 * 2**20
 
@@ -103,8 +104,12 @@ def _static_plan(groups, w, h):
         plan[ch]["tmin"] = plan[ch]["taus"][0]
         plan[ch]["tmax"] = plan[ch]["taus"][-1]
         # Band rows: tap row window + descent/bend margin, 8-aligned.
+        # Margin covers the TY-row tile descent (TY*h/oh*1.3, <= 8 for
+        # TY=16 at upscale ratios >= 3) plus bend slack; blur_groups_fits
+        # re-checks the margin against the actual geometry and rejects
+        # when it is insufficient.
         win = plan[ch]["mmax"] - plan[ch]["mmin"] + 1
-        plan[ch]["kb"] = min(((win + 7 + 7) // 8) * 8, _KB_CAP)
+        plan[ch]["kb"] = min(((win + 9 + 7) // 8) * 8, _KB_CAP)
     return plan
 
 
@@ -119,11 +124,12 @@ def blur_groups_fits(tex_shape, out_shape, groups) -> bool:
     if hp * wp * c * 4 > _VMEM_TEX_BYTES:
         return False
     plan = _static_plan(groups, w, h)
-    # x: tile source span (with curvature slack x1.3) + tau spread <= 120
+    # x: tile source span (with curvature slack x1.3) + tau spread must
+    # fit the rotated TX-lane window
     span = TX * (w / ow) * 1.3 + 4
     descent = TY * (h / oh) * 1.3 + 3
     for ch, p in plan.items():
-        if span + (p["tmax"] - p["tmin"]) > 120:
+        if span + (p["tmax"] - p["tmin"]) > TX - 8:
             return False
         # y: tap row window + tile descent (TY rows with slack) + bend
         if (p["mmax"] - p["mmin"]) + descent > p["kb"] - 1:
