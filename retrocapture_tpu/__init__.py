@@ -19,6 +19,35 @@ src/shader/ShaderEngine.h:54-93):
 
 __version__ = "0.1.0"
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (shape-specialized chains retrace
+    per (source, viewport) pair; without a disk cache every process pays
+    the compile-server round trip again — measured 17.6 s -> 0.4 s for an
+    identical program across processes on the TPU tunnel). Opt out with
+    ``RETROCAPTURE_COMPILE_CACHE=off``; override the location with
+    ``RETROCAPTURE_COMPILE_CACHE=<dir>``."""
+    import os
+
+    loc = os.environ.get("RETROCAPTURE_COMPILE_CACHE", "")
+    if loc == "off":
+        return
+    try:
+        import jax
+
+        if not loc:
+            from retrocapture_tpu.utils.paths import cache_dir
+
+            loc = str(cache_dir() / "xla")
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
+
+
+_enable_compile_cache()
+
 from retrocapture_tpu.presets.glslp import Preset, PassConfig, TextureConfig
 from retrocapture_tpu.runtime.engine import Engine
 
