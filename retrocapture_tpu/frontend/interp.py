@@ -1243,6 +1243,21 @@ class ShaderEval:
         n_traced = getattr(self.ctx, "warp_taps_traced", 0)
         if hasattr(self.ctx, "warp_taps_traced") and np.ndim(u) == 2:
             self.ctx.warp_taps_traced = n_traced + 1
+        if sampler.mipmap and np.ndim(u) == 2:
+            # Warped tap on a mipmap_input pass: per-pixel-LOD trilinear
+            # over the box pyramid (the reference generates mipmaps on
+            # the bound input for any consumer, ShaderEngine.cpp:1004-1036
+            # — round 1 silently sampled level 0 here).
+            from retrocapture_tpu.ops.sampling import sample2d_warped_mip
+
+            out = sample2d_warped_mip(
+                jnp.asarray(sampler.tex),
+                u,
+                v,
+                filter_linear=sampler.filter_linear,
+                wrap_mode=sampler.wrap_mode,
+            )
+            return V(out, GType("float", (4,)))
         out = sample2d(
             jnp.asarray(sampler.tex),
             u,

@@ -198,6 +198,56 @@ def sample2d_affine_mip(
     return s0 + (s1 - s0) * jnp.float32(frac)
 
 
+def sample2d_warped_mip(
+    tex: jax.Array,
+    u,
+    v,
+    *,
+    filter_linear: bool,
+    wrap_mode: str = "clamp_to_edge",
+) -> jax.Array:
+    """Mipmapped sampling for WARPED 2D grids (``mipmap_input#`` passes
+    whose taps are data-dependent — the case the reference's GL driver
+    handles in hardware, ShaderEngine.cpp:1004-1036): per-pixel LOD from
+    screen-space finite differences (the quad-derivative analog), then
+    per-pixel trilinear across the box pyramid. Every reachable level is
+    sampled with the warped sampler and blended by its per-pixel weight;
+    cost is (levels) warped samples, paid only by warped mip taps."""
+    h, w, _ = tex.shape
+    u = jnp.asarray(u, jnp.float32)
+    v = jnp.asarray(v, jnp.float32)
+
+    def ddiff(a, axis):
+        d = jnp.diff(a, axis=axis)
+        last = jax.lax.slice_in_dim(d, d.shape[axis] - 1, d.shape[axis], axis=axis)
+        return jnp.concatenate([d, last], axis=axis)
+
+    dx = jnp.maximum(jnp.abs(ddiff(u, 1)) * w, jnp.abs(ddiff(v, 1)) * h)
+    dy = jnp.maximum(jnp.abs(ddiff(u, 0)) * w, jnp.abs(ddiff(v, 0)) * h)
+    rho = jnp.maximum(jnp.maximum(dx, dy), 1e-12)
+    max_lod = int(np.floor(np.log2(max(min(h, w), 1))))
+    lod = jnp.clip(jnp.log2(rho), 0.0, float(max_lod))
+    if not filter_linear:
+        lod = jnp.zeros_like(lod)  # NEAREST min filter: base level
+    l0 = jnp.floor(lod)
+    frac = lod - l0
+
+    level = tex
+    out = None
+    for lev in range(max_lod + 1):
+        wt = jnp.where(l0 == lev, 1.0 - frac, 0.0) + jnp.where(
+            l0 == lev - 1, frac, 0.0
+        )
+        s = sample2d(
+            level, u, v, filter_linear=filter_linear, wrap_mode=wrap_mode
+        )
+        term = s * wt[..., None]
+        out = term if out is None else out + term
+        if lev < max_lod:
+            level = _box_downsample(level)
+    return out
+
+
 def sample2d_lod(
     tex: jax.Array,
     u,

@@ -43,7 +43,7 @@ PRESETS = [
 
 CODE = r"""
 import sys, time, numpy as np
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@REPO@")
 import jax, jax.numpy as jnp
 from retrocapture_tpu.runtime.engine import Engine
 p = sys.argv[1]
@@ -87,7 +87,7 @@ def main() -> int:
         t0 = time.time()
         try:
             r = subprocess.run(
-                [sys.executable, "-c", CODE.format(repo=repo), p],
+                [sys.executable, "-c", CODE.replace("@REPO@", repo), p],
                 capture_output=True, text=True, timeout=args.budget,
             )
             lines = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")]
