@@ -307,11 +307,16 @@ class Engine:
             self._states[tuple(m["key"])] = st
 
     # -- application ----------------------------------------------------
-    def apply(self, frames) -> jax.Array:
+    def apply(self, frames, output: str = "f32") -> jax.Array:
         """Process one frame [H,W,3|4] or a batch [B,H,W,3|4] (uint8 or
-        float). Returns float32 RGB in [0,1] at the viewport size:
-        [vh,vw,3] or [B,vh,vw,3]. Batches of temporal presets run as a
-        sequential scan; stateless presets vmap."""
+        float). Returns RGB at the viewport size: float32 in [0,1]
+        (default) or, with ``output="u8"``, uint8 ON DEVICE — the
+        viewport blit fuses resample+quantize (Pallas) and the result
+        moves 1/4 of the bytes, matching the reference's RGBA8 FBO
+        product + PBO readback (PBOManager.cpp:86-170). Batches of
+        temporal presets run as a sequential scan; stateless presets
+        vmap."""
+        assert output in ("f32", "u8"), output
         arr = jnp.asarray(frames)
         packed = self._input_format != "rgb"
         if not packed and arr.ndim == 5:
@@ -330,6 +335,8 @@ class Engine:
                 self._convert_packed(arr) if packed else arr
             )
             out = self._passthrough(src, vw, vh)[..., :3]
+            if output == "u8":
+                out = _quantize_u8(out)
             return out if batched else out[0]
 
         # Input normalization (u8→float, RGB→RGBA) happens INSIDE the jit
@@ -337,7 +344,7 @@ class Engine:
         key = (h, w, vw, vh)
         try:
             state = self._get_state(key, jnp.float32)
-            fn = self._get_jit(key)
+            fn = self._get_jit(key, u8=output == "u8")
             temporal = self._program.uses_history() or self._program.uses_feedback()
             if self._mesh is not None and not temporal:
                 from retrocapture_tpu.parallel.mesh import shard_frames
@@ -354,7 +361,7 @@ class Engine:
                 log.warning("traced params unsupported here, const fallback: %s", e)
                 self._param_const_fallback = True
                 self._jit_cache.clear()
-                return self.apply(frames)
+                return self.apply(frames, output=output)
             # A pass failed to lower — the reference's GL compile would
             # have failed too; degrade to passthrough but KEEP the
             # extracted parameter metadata (ShaderEngine.cpp:294-314).
@@ -366,6 +373,8 @@ class Engine:
             self._states.clear()
             src = self._to_rgba_float(arr)
             out = self._passthrough(src, vw, vh)[..., :3]
+            if output == "u8":
+                out = _quantize_u8(out)
             return out if batched else out[0]
         self._states[key] = new_state
         return out if batched else out[0]

@@ -326,3 +326,24 @@ def test_fused_input_formats():
     want2 = np.asarray(cs.yuyv_to_rgb(jnp.asarray(yuyv), w, h))
     want2 = np.round(np.clip(want2, 0, 1) * 255) / 255
     np.testing.assert_allclose(out2, want2, atol=1.0 / 255.0 + 1e-6)
+
+
+def test_apply_u8_device_output():
+    """apply(output='u8') returns uint8 on device matching the quantized
+    f32 path within one level (the fused Pallas blit rounds identically;
+    interpret fallback on CPU)."""
+    import jax.numpy as jnp
+
+    from retrocapture_tpu.runtime.engine import Engine
+
+    e = Engine(viewport=(128, 96))
+    assert e.load_preset(SH + "interpolation/sharp-bilinear-scanlines.glslp")
+    rng = np.random.default_rng(5)
+    frames = (rng.random((2, 48, 64, 3)) * 255).astype(np.uint8)
+    f32 = np.asarray(e.apply(frames))
+    e2 = Engine(viewport=(128, 96))
+    assert e2.load_preset(SH + "interpolation/sharp-bilinear-scanlines.glslp")
+    u8 = e2.apply(frames, output="u8")
+    assert u8.dtype == jnp.uint8
+    ref = np.round(np.clip(f32, 0, 1) * 255.0).astype(np.int32)
+    assert np.abs(np.asarray(u8).astype(np.int32) - ref).max() <= 1
