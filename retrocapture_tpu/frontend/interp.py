@@ -437,7 +437,7 @@ class ShaderEval:
         elif isinstance(s, A.For):
             self._exec_for(s)
         elif isinstance(s, A.While):
-            self._exec_loop(None, s.cond, None, s.body)
+            self._exec_loop(None, s.cond, None, s.body, bound=_shift_loop_bound(s.cond, s.body))
         elif isinstance(s, A.DoWhile):
             self._exec_loop(None, s.cond, None, s.body, do_while=True)
         elif isinstance(s, A.Return):
@@ -510,6 +510,37 @@ class ShaderEval:
         self.mask = outer
 
     def _exec_for(self, s: A.For) -> None:
+        # `for (v = E; v < E + k; v += c)` with a TRACED E: the bounds
+        # cancel structurally, so the trip count is the fixed ceil(k/c)
+        # even though both endpoints are data-dependent — the gendither/
+        # powervr2/omniscale pattern that otherwise spins to the unroll
+        # cap and degrades the preset to passthrough.
+        trips = _static_trip_count(s)
+        if trips is not None:
+            if s.init is not None:
+                self.exec_stmt(s.init)
+            lp = _LoopCtx()
+            self.loop_stack.append(lp)
+            outer = self.mask
+            try:
+                for _ in range(trips):
+                    lp.continue_mask = None
+                    try:
+                        self.mask = self._prune_mask(outer)
+                        self.exec_stmt(s.body)
+                    except _ContinueSignal:
+                        pass
+                    except _BreakSignal:
+                        break
+                    if s.step is not None:
+                        saved = self.mask
+                        self.mask = None
+                        self.eval(s.step)
+                        self.mask = saved
+            finally:
+                self.loop_stack.pop()
+                self.mask = outer
+            return
         if s.init is not None:
             self.exec_stmt(s.init)
         # A step that only touches a simple induction variable updates it
@@ -522,7 +553,14 @@ class ShaderEval:
         self._exec_loop(None, s.cond, s.step, s.body, step_uniform=step_uniform)
 
     def _exec_loop(
-        self, _init, cond_expr, step_expr, body, do_while=False, step_uniform=False
+        self,
+        _init,
+        cond_expr,
+        step_expr,
+        body,
+        do_while=False,
+        step_uniform=False,
+        bound=None,
     ) -> None:
         lp = _LoopCtx()
         self.loop_stack.append(lp)
@@ -545,6 +583,11 @@ class ShaderEval:
                             exited = jnp.logical_not(jnp.asarray(c.data))
                         lp.break_mask = _or_mask(lp.break_mask, exited)
                         traced_iters += 1
+                        if bound is not None and traced_iters > bound:
+                            # Proven-terminating loop (e.g. a shift-to-
+                            # zero popcount): every pixel has exited by
+                            # the bound; further iterations are no-ops.
+                            break
                         if traced_iters > MAX_UNROLL:
                             raise UnsupportedShaderError(
                                 "data-dependent loop exceeded unroll cap"
@@ -1316,6 +1359,179 @@ class ShaderEval:
         if name == "dFdy":
             return V(quad_diff(d, ax_y), v.type)
         return V(jnp.abs(quad_diff(d, ax_x)) + jnp.abs(quad_diff(d, ax_y)), v.type)
+
+
+def _shift_loop_bound(cond, body):
+    """Iteration bound for ``while (v != 0) { ...; v >>= k; }`` loops
+    (omniscale's popcount): a 32-bit int right-shifted by k >= 1 every
+    iteration provably reaches 0 within ceil(32/k) trips, so the traced
+    condition needs no unroll-cap failure. Requires every write to v in
+    the body to be the shift."""
+    if not (
+        isinstance(cond, A.Binary)
+        and cond.op in ("!=", ">")
+        and isinstance(cond.left, A.Ident)
+        and isinstance(cond.right, A.Num)
+        and cond.right.value == 0
+    ):
+        return None
+    vname = cond.left.name
+    import dataclasses
+    import math
+
+    shift_k = None
+    writes = 0
+    stack = [body]
+    while stack:
+        n = stack.pop()
+        if n is None:
+            continue
+        if isinstance(n, list):
+            stack.extend(n)
+            continue
+        if isinstance(n, A.Assign) and isinstance(n.target, A.Ident) and n.target.name == vname:
+            writes += 1
+            if n.op == ">>=" and isinstance(n.value, A.Num) and n.value.value >= 1:
+                shift_k = int(n.value.value)
+            elif (
+                n.op == "="
+                and isinstance(n.value, A.Binary)
+                and n.value.op == ">>"
+                and isinstance(n.value.left, A.Ident)
+                and n.value.left.name == vname
+                and isinstance(n.value.right, A.Num)
+                and n.value.right.value >= 1
+            ):
+                shift_k = int(n.value.right.value)
+        elif isinstance(n, (A.PrefixIncDec, A.PostfixIncDec)) and isinstance(n.operand, A.Ident) and n.operand.name == vname:
+            writes += 2  # not a shift: disqualify
+        elif isinstance(n, A.DeclStmt) and any(d.name == vname for d in n.declarators):
+            writes += 2
+        if dataclasses.is_dataclass(n) and not isinstance(n, type):
+            for f in dataclasses.fields(n):
+                stack.append(getattr(n, f.name))
+    if shift_k is None or writes != 1:
+        return None
+    return int(math.ceil(32 / shift_k)) + 1
+
+
+def _walk_exprs(node):
+    """Yield every Expr reachable from an AST node (dataclass walk)."""
+    import dataclasses
+
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n is None:
+            continue
+        if isinstance(n, list):
+            stack.extend(n)
+            continue
+        if dataclasses.is_dataclass(n) and not isinstance(n, type):
+            if isinstance(n, A.Expr):
+                yield n
+            for f in dataclasses.fields(n):
+                stack.append(getattr(n, f.name))
+
+
+def _mentions_var(node, name: str) -> bool:
+    return any(isinstance(e, A.Ident) and e.name == name for e in _walk_exprs(node))
+
+
+def _writes_var(node, name: str) -> bool:
+    """Conservative: any assignment/inc-dec targeting `name`, or a
+    shadowing declaration of it, anywhere under `node`."""
+    import dataclasses
+
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n is None:
+            continue
+        if isinstance(n, list):
+            stack.extend(n)
+            continue
+        if isinstance(n, A.Assign) and isinstance(n.target, A.Ident) and n.target.name == name:
+            return True
+        if isinstance(n, (A.PrefixIncDec, A.PostfixIncDec)) and isinstance(n.operand, A.Ident) and n.operand.name == name:
+            return True
+        if isinstance(n, A.DeclStmt) and any(d.name == name for d in n.declarators):
+            return True
+        if dataclasses.is_dataclass(n) and not isinstance(n, type):
+            for f in dataclasses.fields(n):
+                stack.append(getattr(n, f.name))
+    return False
+
+
+def _static_trip_count(s):
+    """Trip count of ``for (v = E; v </<= E + k; v++/v += c)`` where the
+    bounds cancel structurally (dataclass equality compares the two E
+    subtrees), or None. E must not mention v and the body must not write
+    v, otherwise the cancellation is invalid."""
+    import math
+
+    init = s.init
+    if isinstance(init, A.ExprStmt):
+        init = init.expr
+    if (
+        isinstance(init, A.DeclStmt)
+        and len(init.declarators) == 1
+        and init.declarators[0].init is not None
+        and init.declarators[0].array_size is None
+    ):
+        vname, base = init.declarators[0].name, init.declarators[0].init
+    elif isinstance(init, A.Assign) and init.op == "=" and isinstance(init.target, A.Ident):
+        vname, base = init.target.name, init.value
+    else:
+        return None
+    cond = s.cond
+    if not (
+        isinstance(cond, A.Binary)
+        and cond.op in ("<", "<=")
+        and isinstance(cond.left, A.Ident)
+        and cond.left.name == vname
+    ):
+        return None
+    rhs = cond.right
+    k = None
+    if isinstance(rhs, A.Binary) and rhs.op == "+":
+        if rhs.left == base and isinstance(rhs.right, A.Num):
+            k = rhs.right.value
+        elif rhs.right == base and isinstance(rhs.left, A.Num):
+            k = rhs.left.value
+    if k is None or not isinstance(k, (int, float)) or k <= 0:
+        return None
+    step = s.step
+    c = None
+    if (
+        isinstance(step, (A.PrefixIncDec, A.PostfixIncDec))
+        and isinstance(step.operand, A.Ident)
+        and step.operand.name == vname
+    ):
+        c = 1 if step.op == "++" else None
+    elif isinstance(step, A.Assign) and isinstance(step.target, A.Ident) and step.target.name == vname:
+        if step.op == "+=" and isinstance(step.value, A.Num):
+            c = step.value.value
+        elif (
+            step.op == "="
+            and isinstance(step.value, A.Binary)
+            and step.value.op == "+"
+            and isinstance(step.value.left, A.Ident)
+            and step.value.left.name == vname
+            and isinstance(step.value.right, A.Num)
+        ):
+            c = step.value.right.value
+    if not c or c <= 0:
+        return None
+    if _mentions_var(base, vname) or _writes_var(s.body, vname):
+        return None
+    if cond.op == "<":
+        trips = int(math.ceil(k / c))
+    else:  # <=
+        trips = int(math.floor(k / c)) + 1
+    if trips <= 0 or trips > MAX_UNROLL:
+        return None
+    return trips
 
 
 def _is_simple_induction_step(step) -> bool:
