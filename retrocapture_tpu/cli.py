@@ -61,6 +61,18 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--stats", action="store_true",
                     help="print per-run timing/content stats as JSON")
+    ap.add_argument("--param-mode", default="const", choices=["const", "traced"],
+                    help="'traced': parameters are device scalars, set_parameter "
+                    "applies next frame without recompiling (the reference's "
+                    "glUniform semantics); 'const' folds them for max throughput")
+    ap.add_argument("--max-resolution", default=None, metavar="WxH",
+                    help="downscale larger sources before the chain "
+                    "(ShaderEngine::setMaxShaderResolution, the low-power knob)")
+    ap.add_argument("--save-state", default=None, metavar="PATH",
+                    help="write temporal state (history/feedback/frame counters) "
+                    "after processing")
+    ap.add_argument("--load-state", default=None, metavar="PATH",
+                    help="restore temporal state before processing")
     return ap
 
 
@@ -104,6 +116,14 @@ def main(argv=None) -> int:
         print(json.dumps(engine.get_parameters(), indent=1))
         return 0
 
+    if args.param_mode != "const":
+        engine.set_param_mode(args.param_mode)
+    if args.max_resolution:
+        w, h = args.max_resolution.lower().split("x")
+        engine.set_max_shader_resolution(int(w), int(h))
+    if args.load_state:
+        engine.load_state(args.load_state)
+
     for kv in args.param:
         name, _, value = kv.partition("=")
         if not engine.set_parameter(name, float(value)):
@@ -146,6 +166,9 @@ def main(argv=None) -> int:
         outs.append(np.asarray(out))
     dt = time.time() - t0
     result = np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    if args.save_state:
+        engine.save_state(args.save_state)
 
     if args.stats:
         print(
