@@ -387,6 +387,29 @@ def _xbr_lv2_kernel(ctx, sh):
         code[..., 0], code[..., 1], code[..., 2], code[..., 3],
     ]
     S = jnp.stack(planes, axis=0)  # [19, oh, w]
+
+    # Fused Pallas epilogue on TPU: in-register x-upsample + decode +
+    # ramp blend — one HBM pass instead of the einsum + ~170 fused
+    # elementwise stages below (kept as the semantic reference/CPU path).
+    mode = _mode()
+    from retrocapture_tpu.ops.pallas.xbr_epilogue import (
+        xbr_epilogue,
+        xbr_epilogue_fits,
+    )
+
+    if mode == "interpret" or xbr_epilogue_fits(w, ow, oh):
+        try:
+            return xbr_epilogue(
+                S,
+                np.clip(bx, 0, w - 1).astype(np.int32),
+                fpx,
+                fpy,
+                interpret=mode == "interpret",
+            )
+        except Exception:  # noqa: BLE001 - fall back to the XLA path
+            if mode == "interpret":
+                raise
+
     bxi = jax.lax.optimization_barrier(
         jnp.asarray(np.clip(bx, 0, w - 1).astype(np.int32))
     )

@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--filter", default="")
     ap.add_argument("--out", default="gl_parity.json")
     ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--skip-from", default="", metavar="CORPUS_JSON",
+                    help="skip presets whose corpus status is timeout "
+                    "(XLA-CPU-compile monsters validated separately on TPU "
+                    "by tools/timeout_probe_tpu.py)")
     args = ap.parse_args()
 
     from retrocapture_tpu import Engine
@@ -42,6 +46,13 @@ def main() -> int:
 
     frame = TestPatternSource(320, 240).capture_frame()
     presets = sorted(SHADERS.rglob("*.glslp"))
+    skip = set()
+    if args.skip_from:
+        import json as _json
+        for rec in _json.load(open(args.skip_from)):
+            if rec.get("status") == "timeout":
+                skip.add(rec["preset"])
+        presets = [p for p in presets if str(p.relative_to(SHADERS)) not in skip]
     if args.filter:
         presets = [p for p in presets if args.filter in str(p)]
     if args.limit:
@@ -68,6 +79,8 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             rec["error"] = f"{type(ex).__name__}: {str(ex)[:160]}"
         results.append(rec)
+        if (i + 1) % 25 == 0:
+            Path(args.out).write_text(json.dumps(results, indent=1))
         if (i + 1) % 10 == 0:
             done = [r for r in results if "psnr" in r]
             vals = [r["psnr"] for r in done if r["psnr"] != "inf"]
