@@ -388,16 +388,21 @@ def _xbr_lv2_kernel(ctx, sh):
     ]
     S = jnp.stack(planes, axis=0)  # [19, oh, w]
 
-    # Fused Pallas epilogue on TPU: in-register x-upsample + decode +
-    # ramp blend — one HBM pass instead of the einsum + ~170 fused
-    # elementwise stages below (kept as the semantic reference/CPU path).
+    # Fused Pallas epilogue: in-register x-upsample + decode + ramp
+    # blend in one HBM pass. Measured SLOWER than the einsum + fused
+    # elementwise XLA path below on TPU (260 vs 386 fps at the bench
+    # operating point — per-tile fixed overheads dominate at these
+    # sizes), so it is opt-in via RCTPU_KERNELS=epilogue; interpret mode
+    # still exercises it as the Pallas correctness reference.
     mode = _mode()
     from retrocapture_tpu.ops.pallas.xbr_epilogue import (
         xbr_epilogue,
         xbr_epilogue_fits,
     )
 
-    if mode == "interpret" or xbr_epilogue_fits(w, ow, oh):
+    if mode == "interpret" or (
+        mode == "epilogue" and xbr_epilogue_fits(w, ow, oh)
+    ):
         try:
             return xbr_epilogue(
                 S,
