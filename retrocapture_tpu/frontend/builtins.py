@@ -193,14 +193,16 @@ def _mat_mul(a: V, b: V) -> V:
         if b.type.shape[0] != c:
             raise GlslEvalError(f"mat{a.type.shape} * vec{b.type.shape}")
         out = xp.einsum("...cr,...c->...r", a.data, b.astype("float").data)
-        return V(out, GType("float", (r,)))
+        aff = _mat_vec_affine(a, b, "mv")
+        return V(out, GType("float", (r,)), affine=aff)
     if a.type.is_vector and b.type.is_matrix:
         # v * m: out_c = dot(v, m[c])
         c, r = b.type.shape
         if a.type.shape[0] != r:
             raise GlslEvalError(f"vec{a.type.shape} * mat{b.type.shape}")
         out = xp.einsum("...r,...cr->...c", a.astype("float").data, b.data)
-        return V(out, GType("float", (c,)))
+        aff = _mat_vec_affine(b, a, "vm")
+        return V(out, GType("float", (c,)), affine=aff)
     if a.type.is_matrix and b.type.is_matrix:
         ca, ra = a.type.shape
         cb, rb = b.type.shape
@@ -210,6 +212,43 @@ def _mat_mul(a: V, b: V) -> V:
         out = xp.einsum("...kr,...ck->...cr", a.data, b.data)
         return V(out, GType("float", (cb, ra)))
     raise GlslEvalError(f"bad operands for mat mul: {a.type} {b.type}")
+
+
+def _mat_vec_affine(m: V, v: V, order: str):
+    """Affine metadata through mat·vec with a CONCRETE batch-less matrix:
+    each output component is a constant-coefficient linear combination of
+    the vector's components, so the (a, b, c) triples combine linearly.
+    This is how ``gl_Position = MVPMatrix * VertexCoord`` keeps the quad
+    transform analyzable (engine._quad_transform)."""
+    from retrocapture_tpu.frontend.values import affine_of
+
+    if not is_concrete(m.data) or np.shape(m.data) != m.type.shape:
+        return None
+    vn = v.type.shape[0]
+    va = affine_of(v, vn)
+    if va is None:
+        return None
+    md = np.asarray(m.data, np.float64)  # [cols, rows]
+    out = []
+    if order == "mv":  # out_r = sum_c m[c, r] * v[c]
+        for r in range(m.type.shape[1]):
+            a = b = c = 0.0
+            for ci in range(m.type.shape[0]):
+                w = float(md[ci, r])
+                a += w * va[ci][0]
+                b += w * va[ci][1]
+                c += w * va[ci][2]
+            out.append((a, b, c))
+    else:  # vm: out_c = dot(v, m[c])
+        for ci in range(m.type.shape[0]):
+            a = b = c = 0.0
+            for r in range(m.type.shape[1]):
+                w = float(md[ci, r])
+                a += w * va[r][0]
+                b += w * va[r][1]
+                c += w * va[r][2]
+            out.append((a, b, c))
+    return tuple(out)
 
 
 def _expand2(s: V):

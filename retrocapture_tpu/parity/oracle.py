@@ -240,6 +240,19 @@ class OracleEngine:
             preset.passes[0].wrap_mode,
             preset.passes[0].mipmap_input,
         )
+        if prog.uses_history() and not self._history:
+            # Cold ring: the reference leaves unfilled PrevN samplers
+            # unbound → texture unit 0 → the pass input
+            # (ShaderEngine.cpp:1137-1155).  Mirror the engine's static-
+            # shape approximation: seed every slot with the first frame
+            # pushed through the history-entry path (resize + RGBA8).
+            hh, hw = shapes[-1].out_h, shapes[-1].out_w
+            entry = arr
+            if entry.shape[:2] != (hh, hw):
+                entry = _resize_bilinear_np(entry, hw, hh)
+            entry = np.round(np.clip(entry, 0, 1) * 255.0) / 255.0
+            entry = entry.astype(np.float32)
+            self._history = [entry] * MAX_FRAME_HISTORY
         history_b = [TexBinding(t, True, "clamp_to_edge") for t in self._history]
 
         pass_outputs: list[Optional[TexBinding]] = []
@@ -284,8 +297,6 @@ class OracleEngine:
                 entry = _resize_bilinear_np(entry, hw, hh)
             entry = np.round(np.clip(entry, 0, 1) * 255.0) / 255.0
             self._history = [entry] + self._history[: MAX_FRAME_HISTORY - 1]
-            while len(self._history) < MAX_FRAME_HISTORY:
-                self._history.append(np.zeros_like(entry))
 
         if prog.uses_feedback():
             self._feedback = {j: outputs_raw[j] for j in range(n)}

@@ -343,7 +343,9 @@ class Engine:
         # — eager ops per call are expensive on remote backends.
         key = (h, w, vw, vh)
         try:
-            state = self._get_state(key, jnp.float32)
+            state = self._get_state(
+                key, jnp.float32, seed_source=self._history_seed(key, arr, packed)
+            )
             fn = self._get_jit(key, u8=output == "u8")
             temporal = self._program.uses_history() or self._program.uses_feedback()
             if self._mesh is not None and not temporal:
@@ -404,6 +406,18 @@ class Engine:
             state = jax.tree.map(
                 lambda x: jnp.broadcast_to(x, (s,) + jnp.shape(x)), proto
             )
+            if self._program.uses_history() and state.history:
+                # Seed each stream's cold ring from its own first frame
+                # (unfilled-slot = pass-input reference semantics).
+                hh, hw = state.history[0].shape[1:3]
+                firsts = jax.vmap(self._to_rgba_float)(src[:, 0])
+                entry = jax.vmap(lambda f: _history_entry(f, hw, hh))(firsts)
+                state = _ChainState(
+                    history=tuple(entry for _ in state.history),
+                    feedback=state.feedback,
+                    frame_count=state.frame_count,
+                    time=state.time,
+                )
             self._states[key] = state
         traced = self._effective_param_mode() == "traced"
         fn = self._jit_cache.get(key)
@@ -481,7 +495,9 @@ class Engine:
         vw, vh = self._viewport or (w, h)
         key = (h, w, vw, vh)
         try:
-            state = self._get_state(key, jnp.float32)
+            state = self._get_state(
+                key, jnp.float32, seed_source=self._history_seed(key, arr, False)
+            )
             fn = self._get_jit(key, u8=True)
             if self._effective_param_mode() == "traced":
                 out, new_state = fn(arr, state, self._param_values())
@@ -494,6 +510,14 @@ class Engine:
         return out if batched else out[0]
 
     # -- internals ------------------------------------------------------
+    def _history_seed(self, key, arr, packed: bool):
+        """Normalized first frame for seeding a cold history ring, or
+        None when the state is already warm / the preset keeps none."""
+        if key in self._states or not self._program.uses_history():
+            return None
+        first = self._convert_packed(arr[:1]) if packed else arr[:1]
+        return self._to_rgba_float(first)[0]
+
     @staticmethod
     def _to_rgba_float(arr) -> jax.Array:
         if arr.dtype == jnp.uint8:
@@ -515,7 +539,7 @@ class Engine:
             return src
         return jax.vmap(lambda t: self._resize_bilinear(t, vw, vh))(src)
 
-    def _get_state(self, key, dtype) -> _ChainState:
+    def _get_state(self, key, dtype, seed_source=None) -> _ChainState:
         st = self._states.get(key)
         if st is not None:
             return st
@@ -528,10 +552,23 @@ class Engine:
         history = ()
         if prog.uses_history():
             last = shapes[-1]
-            history = tuple(
-                jnp.zeros((last.out_h, last.out_w, 4), jnp.float32)
-                for _ in range(MAX_FRAME_HISTORY)
-            )
+            if seed_source is not None:
+                # Reference semantics for unfilled history slots: the
+                # PrevN sampler stays unbound → texture unit 0 → the
+                # pass input (ShaderEngine.cpp:1137-1155, deliberately
+                # avoiding the darkening a black frame would cause).
+                # Static shapes can't alias the input texture per slot,
+                # so seed the ring with the first frame resized through
+                # the same path a real history entry takes.
+                entry = _history_entry(
+                    jnp.asarray(seed_source), last.out_w, last.out_h
+                )
+                history = tuple(entry for _ in range(MAX_FRAME_HISTORY))
+            else:
+                history = tuple(
+                    jnp.zeros((last.out_h, last.out_w, 4), jnp.float32)
+                    for _ in range(MAX_FRAME_HISTORY)
+                )
         feedback = {}
         if prog.uses_feedback():
             for j, sh in enumerate(shapes):
@@ -717,6 +754,17 @@ def _npz_path(path: str) -> str:
     return path if str(path).endswith(".npz") else str(path) + ".npz"
 
 
+def _history_entry(src, out_w: int, out_h: int):
+    """Build a frame-history ring entry from a frame: resize to the ring
+    shape with the LINEAR blit and quantize to RGBA8, exactly like the
+    in-chain history update (the GL copy into a GL_RGBA/UNSIGNED_BYTE
+    texture, ShaderEngine.cpp:1744-1756)."""
+    if src.shape[0] != out_h or src.shape[1] != out_w:
+        u, v = _grids(out_w, out_h)
+        src = sample2d(src, u, v, filter_linear=True)
+    return framebuffer_store(src, float_framebuffer=False, srgb_framebuffer=False)
+
+
 @jax.jit
 def _quantize_u8(x):
     return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
@@ -893,6 +941,69 @@ def _run_pass(cp, ctx: PassContext, sh: PassShapes):
     return _eval_pass_on_grid(cp, ctx, sh, None)
 
 
+def _quad_transform(v_globals, ow: int, oh: int):
+    """Inverse rasterization map for a non-identity ``gl_Position``.
+
+    Most corpus vertex shaders emit ``gl_Position = MVPMatrix *
+    VertexCoord`` — a fullscreen quad, for which evaluating varyings
+    directly on the output grid is exact.  A handful (lcd-shader,
+    imgborder, cocktail-cabinet, hqx single-pass, braid-rewind) *scale*
+    the clip position, shrinking the quad to a sub-region of the
+    render target (the integer-prescale-with-borders trick).  The
+    reference rasterizes that quad into a transparent-black-cleared FBO
+    (ShaderEngine's per-pass glClear; see OpenGLRenderer FBO setup), so
+    uncovered pixels are (0,0,0,0).
+
+    The evaluator seeds the vertex stage on the output pixel grid and
+    tracks clip position as an affine function of (col, row).  When the
+    evaluated ``gl_Position`` differs from the identity quad, invert the
+    affine map: for each *real* output pixel, find the seeded grid
+    coordinate whose transformed clip position lands there, re-run the
+    vertex stage on those coordinates, and mask pixels that fall
+    outside the quad.  Returns ``((axx, axy, bx), (ayx, ayy, by))``
+    with ``col' = axx*col + axy*row + bx`` (likewise row'), or None
+    when gl_Position is the identity quad / not analyzable (the
+    historical fullscreen assumption)."""
+    from retrocapture_tpu.frontend.values import affine_of
+
+    gp = v_globals.get("gl_Position")
+    if not isinstance(gp, V) or gp.type.shape != (4,):
+        return None
+    aff = affine_of(gp, 4)
+    if aff is None:
+        return None
+    (ax, bx, cx), (ay, by, cy), _zt, (aw, bw, cw) = aff
+    # Only w == 1 (no perspective) is invertible as a 2-D affine map.
+    if aw != 0.0 or bw != 0.0 or abs(cw - 1.0) > 1e-9:
+        return None
+    import math
+
+    def close(u, v):
+        return math.isclose(u, v, rel_tol=1e-6, abs_tol=1e-9)
+
+    if (
+        close(ax, 2.0 / ow)
+        and close(bx, 0.0)
+        and close(cx, 1.0 / ow - 1.0)
+        and close(ay, 0.0)
+        and close(by, 2.0 / oh)
+        and close(cy, 1.0 / oh - 1.0)
+    ):
+        return None  # identity fullscreen quad
+    det = ax * by - bx * ay
+    if abs(det) < 1e-12:
+        return None
+    # Seeded clip = A·(col,row) + c; target NDC of real pixel (col0,row0)
+    # is ((2/ow)·col0 + 1/ow − 1, (2/oh)·row0 + 1/oh − 1).  Solve
+    # A·(col',row') = q − c for the pre-image grid coordinate.
+    gx, hx = 2.0 / ow, 1.0 / ow - 1.0 - cx
+    gy, hy = 2.0 / oh, 1.0 / oh - 1.0 - cy
+    return (
+        (by * gx / det, -bx * gy / det, (by * hx - bx * hy) / det),
+        (-ay * gx / det, ax * gy / det, (-ay * hx + ax * hy) / det),
+    )
+
+
 def _eval_pass_on_grid(cp, ctx: PassContext, sh: PassShapes, fac):
     ow, oh = sh.out_w, sh.out_h
     if fac is None:
@@ -932,13 +1043,64 @@ def _eval_pass_on_grid(cp, ctx: PassContext, sh: PassShapes, fac):
     )
     color_attr = V(np.ones(4, np.float32), GType("float", (4,)))
 
-    v_inputs = {
-        "TexCoord": tex_coord,
-        "VertexCoord": vertex_coord,
-        "COLOR": color_attr,
-        "gl_Position": vertex_coord,
-    }
+    def attr_inputs(tc, vc):
+        # Attribute slot aliases per the reference's glBindAttribLocation
+        # table (ShaderEngine.cpp:707-719): Position shares slot 0 with
+        # VertexCoord; the motion-blur Prev*TexCoord attributes share
+        # slot 1 with TexCoord (all frames use the same quad coords).
+        ins = {
+            "TexCoord": tc,
+            "VertexCoord": vc,
+            "Position": vc,
+            "COLOR": color_attr,
+            "Color": color_attr,
+            "gl_Position": vc,
+            "PrevTexCoord": tc,
+        }
+        for n in range(1, 7):
+            ins[f"Prev{n}TexCoord"] = tc
+        return ins
+
+    v_inputs = attr_inputs(tex_coord, vertex_coord)
     v_globals, _, _ = cp.vertex_eval.run(ctx, v_inputs)
+
+    cover = None
+    quad = _quad_transform(v_globals, ow, oh)
+    if quad is not None:
+        if fac is not None:
+            from retrocapture_tpu.graph.factored import FactoredBailout
+
+            raise FactoredBailout("non-identity gl_Position")
+        (axx, axy, bx0), (ayx, ayy, by0) = quad
+        xg2 = axx * xg + axy * yg + np.float32(bx0)
+        yg2 = ayx * xg + ayy * yg + np.float32(by0)
+        # Quad param covers col ∈ [-0.5, ow-0.5); fragments whose
+        # pre-image falls outside are never rasterized → cleared black.
+        cover = (
+            (xg2 >= -0.5) & (xg2 < ow - 0.5) & (yg2 >= -0.5) & (yg2 < oh - 0.5)
+        )
+
+        def _comp(t):
+            a, b, c = t
+            return (a * axx + b * ayx, a * axy + b * ayy, a * bx0 + b * by0 + c)
+
+        ugrid2 = (xg2 + 0.5) * np.float32(1.0 / ow)
+        vgrid2 = (yg2 + 0.5) * np.float32(1.0 / oh)
+        tex_coord = vec4(ugrid2, vgrid2, zeros, ones, (_comp(ua), _comp(va), c0, c1))
+        vertex_coord = vec4(
+            ugrid2 * 2.0 - 1.0,
+            vgrid2 * 2.0 - 1.0,
+            zeros,
+            ones,
+            (
+                _comp((2.0 / ow, 0.0, 1.0 / ow - 1.0)),
+                _comp((0.0, 2.0 / oh, 1.0 / oh - 1.0)),
+                c0,
+                c1,
+            ),
+        )
+        v_inputs = attr_inputs(tex_coord, vertex_coord)
+        v_globals, _, _ = cp.vertex_eval.run(ctx, v_inputs)
 
     f_inputs = {}
     for name in cp.vertex_eval.varying_names:
@@ -962,6 +1124,8 @@ def _eval_pass_on_grid(cp, ctx: PassContext, sh: PassShapes, fac):
             data = jnp.zeros_like(data)
         else:
             data = jnp.where(jnp.asarray(discard_mask)[..., None], 0.0, data)
+    if cover is not None:
+        data = jnp.where(cover[..., None], data, 0.0)
     if fac is not None:
         return fac.flatten(data)
     return jnp.broadcast_to(data, (oh, ow, 4))
