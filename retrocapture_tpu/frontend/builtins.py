@@ -348,7 +348,9 @@ def _b_mix(x: V, y: V, a: V) -> V:
 def _b_clamp(x: V, lo: V, hi: V) -> V:
     base = promote_base(x.type.base, "int")
     rb = x.type.base if x.type.base in ("int", "uint") and lo.type.base != "float" else "float"
-    return _cw(lambda xp, a, b, c: xp.minimum(xp.maximum(a, b), c), x, lo, hi, result_base=rb)
+    # min(max(x, lo), hi) with GL cmp-select NaN semantics: clamp(NaN,
+    # lo, hi) = lo (llvmpipe), not NaN.
+    return _cw(lambda xp, a, b, c: _gl_min(xp, _gl_max(xp, a, b), c), x, lo, hi, result_base=rb)
 
 
 def _b_step(edge: V, x: V) -> V:
@@ -453,34 +455,48 @@ def _b_abs(a: V) -> V:
     return _cw(lambda xp, d: xp.abs(d), a)
 
 
+def _gl_min(xp, x, y):
+    # llvmpipe lowers fmin to a cmp-select (SSE minps: a<b ? a : b), so
+    # min(NaN, y) = y while min(x, NaN) = NaN — NOT xp.minimum, which
+    # propagates NaN from either side. Shaders lean on min/max to
+    # sanitize NaN from pow(neg, y); matching the select keeps parity.
+    return xp.where(x < y, x, y)
+
+
+def _gl_max(xp, x, y):
+    return xp.where(x > y, x, y)
+
+
 def _b_min(a: V, b: V) -> V:
     rb = "float" if "float" in (a.type.base, b.type.base) else a.type.base
-    return _cw(lambda xp, x, y: xp.minimum(x, y), a, b, result_base=rb)
+    return _cw(_gl_min, a, b, result_base=rb)
 
 
 def _b_max(a: V, b: V) -> V:
     rb = "float" if "float" in (a.type.base, b.type.base) else a.type.base
-    return _cw(lambda xp, x, y: xp.maximum(x, y), a, b, result_base=rb)
+    return _cw(_gl_max, a, b, result_base=rb)
 
 
 def _b_pow(a: V, b: V) -> V:
-    # Mesa/GL semantics (verified against llvmpipe): constant integer
-    # exponents lower to repeated multiplication (sign preserved, exact);
-    # everything else is exp2(y*log2(x)) — NaN for x<0, which UNORM
-    # framebuffer stores flush to 0 (ops/colorspace.quantize_rgba8).
+    # Mesa/GL semantics (probed against llvmpipe 2026-08-17): only the
+    # constant exponents 1.0 / 2.0 / 4.0 lower to multiplies
+    # (nir_opt_algebraic: fpow(a,1)->a, fpow(a,2)->a*a,
+    # fpow(a,4)->(a*a)*(a*a)); EVERY other exponent — including
+    # integers like 3.0 and 8.0 — is exp2(y*log2(x)), NaN for x<0,
+    # which UNORM framebuffer stores flush to 0
+    # (ops/colorspace.quantize_rgba8).
     if is_concrete(b.data) and b.batch_shape == ():
         yv = np.asarray(b.data, np.float64).reshape(-1)
-        if yv.size and np.all(yv == yv[0]) and float(yv[0]) == int(yv[0]):
+        if yv.size and np.all(yv == yv[0]) and float(yv[0]) in (1.0, 2.0, 4.0):
             n = int(yv[0])
-            if 1 <= abs(n) <= 8:
 
-                def ipow(xp, x):
-                    r = x
-                    for _ in range(abs(n) - 1):
-                        r = r * x
-                    return r if n > 0 else 1.0 / r
+            def ipow(xp, x):
+                if n == 1:
+                    return x * 1.0
+                sq = x * x
+                return sq if n == 2 else sq * sq
 
-                return _cw(ipow, a, result_base="float")
+            return _cw(ipow, a, result_base="float")
 
     def fn(xp, x, y):
         with np.errstate(divide="ignore", invalid="ignore"):

@@ -200,29 +200,78 @@ _XBR_TAPS = [
 ]
 
 
-def _xbr_axis_maps(m: int, n: int):
-    """Concrete replication of the evaluator's coordinate math for one
-    axis: (base NEAREST index [m], fract phase [m], per-offset tap
-    indices {k: [m]}). Tap indices mirror the affine-metadata path
-    (values.combine_affine does constant arithmetic in f64; the sampler
-    then builds the coordinate row in f64 and casts once to f32,
-    sample2d_affine), while fp mirrors the f32 data path
-    (fract(texCoord*TextureSize) computed stepwise on f32 grids)."""
-    j = np.arange(m, dtype=np.float64)
-    a = 1.0 / m
-    fn = np.float32(n)
-    base = None
-    taps = {}
-    for k in (-2, -1, 0, 1, 2):
-        c = 0.5 / m + k * (1.0 / n)
-        row = (a * j + c).astype(np.float32)
-        taps[k] = np.floor(row * fn).astype(np.int64)
-    base = taps[0]
-    g = np.arange(m, dtype=np.float32)
-    coord = (g + np.float32(0.5)) * np.float32(1.0 / m)
-    prod = coord * fn
-    fp = prod - np.floor(prod)
-    return base, fp.astype(np.float32), taps
+def _xbr_axis_maps(ctx, ow: int, oh: int, w: int, h: int):
+    """Concrete replication of the evaluator's coordinate math from the
+    pass's rasterizer-exact varying planes (engine._plane_varyings): the
+    xbr tap coordinates are the t1..t7 varyings (TEX1..TEX7 after the
+    cg2glsl defines), each plane-fit from its own float32 corner values,
+    and the sampler floors ``f32(f64(d)*j + f64(a0)) * f32(n)`` exactly
+    like sample2d_affine. fp mirrors the fragment's f32 data math
+    ``fract(texCoord * TextureSize)`` on the TEX0 plane vectors.
+    Returns (bx, fpx, tx, by, fpy, ty) or None when the planes aren't
+    available (traced params, renamed varyings)."""
+    from retrocapture_tpu.runtime.engine import _plane_varyings
+
+    cp = ctx.program.passes[ctx.i]
+    try:
+        planes = _plane_varyings(cp, ctx, ow, oh)
+    except Exception:
+        return None
+    need = ["TEX0", "TEX1", "TEX2", "TEX3", "TEX4", "TEX5", "TEX6", "TEX7"]
+    for nm in need:
+        v = planes.get(nm)
+        if v is None or v.affine is None or len(v.affine) != 4:
+            return None
+
+    def aff(nm, comp):
+        return planes[nm].affine[comp]
+
+    def col_idx(a, n, m):
+        dadx, dady, a0 = a
+        if dady != 0.0:
+            return None
+        row = (np.float64(dadx) * np.arange(m, dtype=np.float64) + np.float64(a0)).astype(np.float32)
+        return np.floor(row * np.float32(n)).astype(np.int64)
+
+    def row_idx(a, n, m):
+        dadx, dady, a0 = a
+        if dadx != 0.0:
+            return None
+        col = (np.float64(dady) * np.arange(m, dtype=np.float64) + np.float64(a0)).astype(np.float32)
+        return np.floor(col * np.float32(n)).astype(np.int64)
+
+    # x taps: A0/D0/G0 column = t6.x (-2dx), t1.x/.y/.z = -dx,0,+dx,
+    # C4/F4/I4 column = t7.x (+2dx).
+    tx = {
+        -2: col_idx(aff("TEX6", 0), w, ow),
+        -1: col_idx(aff("TEX1", 0), w, ow),
+        0: col_idx(aff("TEX1", 1), w, ow),
+        1: col_idx(aff("TEX1", 2), w, ow),
+        2: col_idx(aff("TEX7", 0), w, ow),
+    }
+    ty = {
+        -2: row_idx(aff("TEX1", 3), h, oh),
+        -1: row_idx(aff("TEX2", 3), h, oh),
+        0: row_idx(aff("TEX3", 3), h, oh),
+        1: row_idx(aff("TEX4", 3), h, oh),
+        2: row_idx(aff("TEX5", 3), h, oh),
+    }
+    if any(v is None for v in tx.values()) or any(v is None for v in ty.values()):
+        return None
+
+    def fp_of(a, n, m):
+        dadx, dady, a0 = a
+        d = dadx if dady == 0.0 else dady
+        coord = (np.float64(d) * np.arange(m, dtype=np.float64) + np.float64(a0)).astype(np.float32)
+        prod = coord * np.float32(n)
+        return (prod - np.floor(prod)).astype(np.float32)
+
+    ax, ay = aff("TEX0", 0), aff("TEX0", 1)
+    if ax[1] != 0.0 or ay[0] != 0.0:
+        return None
+    fpx = fp_of(ax, w, ow)
+    fpy = fp_of(ay, h, oh)
+    return tx[0], fpx, tx, ty[0], fpy, ty
 
 
 def _xbr_lv2_kernel(ctx, sh):
@@ -247,8 +296,10 @@ def _xbr_lv2_kernel(ctx, sh):
     tex = ctx.input_binding.tex
     h, w = int(tex.shape[0]), int(tex.shape[1])
     ow, oh = ctx.out_size
-    bx, fpx, tx = _xbr_axis_maps(ow, w)
-    by, fpy, ty = _xbr_axis_maps(oh, h)
+    maps = _xbr_axis_maps(ctx, ow, oh, w, h)
+    if maps is None:
+        return None
+    bx, fpx, tx, by, fpy, ty = maps
     # x-exactness gate: every x-tap's f32-floored index must equal
     # clamp(base + k) everywhere (true whenever ow/w is an integer ratio,
     # e.g. 320->1920), so x offsets factor to source-column shifts. The

@@ -27,6 +27,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1004,6 +1006,212 @@ def _quad_transform(v_globals, ow: int, oh: int):
     )
 
 
+_GL_INTERP = os.environ.get("RCTPU_GL_INTERP", "1") != "0"
+
+
+def _plane_setup_f32(w: int, h: int, c10, c11, c01):
+    """llvmpipe triangle-plane setup, bit-exact (probed 2026-08-17 over
+    7 viewport sizes against the real-GL oracle with RGBA32F readback).
+
+    The oracle draws the fullscreen quad as a TRIANGLE_STRIP whose second
+    triangle is (v1, v3, v2) = ((w,0), (w,h), (0,h)) in screen pixels
+    (gloracle.cpp:386-392, 558); Mesa's lp_setup computes each attribute
+    plane as a0/dadx/dady in float32 with exactly this operation order,
+    folding the half-pixel center into a0.  Per-pixel evaluation is then
+    ``f32(f32(a0 + dadx*x) + dady*y)`` at INTEGER pixel coords, each
+    step single-rounded (fma).  Reproducing these exact bits is what
+    decides the knife-edge ``mod(vTexCoord, cell) > texel`` comparisons
+    the handheld/lcd dot-matrix shaders build their grids from."""
+    f = np.float32
+    x0, y0, a0v = f(w), f(0.0), f(c10)
+    x1, y1, a1v = f(w), f(h), f(c11)
+    x2, y2, a2v = f(0.0), f(h), f(c01)
+    dx01 = f(x0 - x1)
+    dy01 = f(y0 - y1)
+    dx20 = f(x2 - x0)
+    dy20 = f(y2 - y0)
+    area = f(f(dx01 * dy20) - f(dx20 * dy01))
+    ooa = f(f(1.0) / area)
+    da01 = f(a0v - a1v)
+    da20 = f(a2v - a0v)
+    dadx = f(f(da01 * f(dy20 * ooa)) - f(da20 * f(dy01 * ooa)))
+    dady = f(f(da20 * f(dx01 * ooa)) - f(da01 * f(dx20 * ooa)))
+    a0 = f(a0v - f(f(dadx * f(x0 - f(0.5))) + f(dady * f(y0 - f(0.5)))))
+    return a0, dadx, dady
+
+
+def _plane_component(a0, dadx, dady, ow: int, oh: int):
+    """Per-pixel plane evaluation ``f32(f32(a0 + dadx*x) + dady*y)`` at
+    integer pixel coords, decomposed into per-axis vectors so the jit
+    sees small literals + broadcasts instead of an [oh, ow] HLO constant
+    (which XLA constant-folds single-threaded — the round-1 155 s
+    compile pathology, see ops/sampling._axis_matrix_device)."""
+    inner = (np.float64(dadx) * np.arange(ow, dtype=np.float64) + np.float64(a0)).astype(
+        np.float32
+    )
+    if dady == 0.0:
+        return jnp.broadcast_to(jnp.asarray(inner)[None, :], (oh, ow))
+    if dadx == 0.0:
+        col = (np.float64(dady) * np.arange(oh, dtype=np.float64) + np.float64(a0)).astype(
+            np.float32
+        )
+        return jnp.broadcast_to(jnp.asarray(col)[:, None], (oh, ow))
+    grid = (
+        inner[None, :].astype(np.float64)
+        + np.float64(dady) * np.arange(oh, dtype=np.float64)[:, None]
+    ).astype(np.float32)
+    return jnp.asarray(grid)
+
+
+def _plane_component_fac(a0, dadx, dady, fac):
+    """Plane evaluation on a factored [ry,rx,my,mx] grid: the seeds are
+    true pixel indices, so the per-axis plane vectors are computed
+    host-side at exactly those indices with the same single-rounded
+    float32 math as the plain grid. 2-D planes would need a full
+    factored-volume constant — bail back to the plain grid instead."""
+    from retrocapture_tpu.graph.factored import FactoredBailout
+
+    if dady == 0.0:
+        vec = (
+            np.float64(dadx) * fac.xidx.T.astype(np.float64) + np.float64(a0)
+        ).astype(np.float32)
+        return jnp.asarray(vec).reshape(1, fac.rx, 1, fac.mx)
+    if dadx == 0.0:
+        vec = (
+            np.float64(dady) * fac.yidx.T.astype(np.float64) + np.float64(a0)
+        ).astype(np.float32)
+        return jnp.asarray(vec).reshape(fac.ry, 1, fac.my, 1)
+    raise FactoredBailout("2-D plane varying in factored mode")
+
+
+def _plane_varyings(cp, ctx: PassContext, ow: int, oh: int, fac=None):
+    """Rasterizer-exact varyings: evaluate the vertex stage at the four
+    quad corners only (what GL hardware does), then rebuild each varying
+    over the output grid with llvmpipe's plane equation in float32.
+
+    This replaces the historical per-pixel vertex evaluation for two
+    reasons of GL semantics:
+    1. float32 rounding — interpolated values differ from per-pixel
+       formula evaluation in ulps, and dot-matrix shaders branch on
+       exact ties of those bits (handheld/lcd families);
+    2. non-affine vertex math (cos/floor of TexCoord, etc.) must be
+       computed at corners and linearly interpolated, not evaluated
+       per-pixel.
+
+    Returns {varying name -> V} for every float varying whose corner
+    values are concrete, {} when the vertex stage can't be corner-run
+    (traced uniforms in traced-param mode, vertex texture fetches...)."""
+    f = np.float32
+    tc = np.array(
+        [[[0, 0, 0, 1], [1, 0, 0, 1]], [[0, 1, 0, 1], [1, 1, 0, 1]]], np.float32
+    )
+    vc = np.array(
+        [[[-1, -1, 0, 1], [1, -1, 0, 1]], [[-1, 1, 0, 1], [1, 1, 0, 1]]], np.float32
+    )
+    t4 = GType("float", (4,))
+    tex_v = V(tc, t4)
+    vert_v = V(vc, t4)
+    col_v = V(np.ones(4, np.float32), t4)
+    ins = {
+        "TexCoord": tex_v,
+        "VertexCoord": vert_v,
+        "Position": vert_v,
+        "COLOR": col_v,
+        "Color": col_v,
+        "gl_Position": vert_v,
+        "PrevTexCoord": tex_v,
+    }
+    for n in range(1, 7):
+        ins[f"Prev{n}TexCoord"] = tex_v
+    try:
+        v_globals, _, _ = cp.vertex_eval.run(ctx, ins)
+    except Exception:
+        return {}
+    from retrocapture_tpu.frontend.values import is_concrete
+
+    out = {}
+    for name in cp.vertex_eval.varying_names:
+        cv = v_globals.get(name)
+        if not isinstance(cv, V) or cv.type.base != "float":
+            continue
+        if not is_concrete(cv.data):
+            continue
+        comps = cv.type.shape[0] if cv.type.is_vector else 1
+        try:
+            arr = np.broadcast_to(
+                np.asarray(cv.data, np.float32), (2, 2, comps) if cv.type.is_vector else (2, 2)
+            )
+        except ValueError:
+            continue
+        if not cv.type.is_vector:
+            arr = arr[..., None]
+        planes = []
+        affs = []
+        ok = True
+        for k in range(comps):
+            c00, c10, c01, c11 = arr[0, 0, k], arr[0, 1, k], arr[1, 0, k], arr[1, 1, k]
+            if not np.all(np.isfinite([c00, c10, c01, c11])):
+                ok = False
+                break
+            a0, dadx, dady = _plane_setup_f32(ow, oh, c10, c11, c01)
+            comp = (
+                _plane_component_fac(a0, dadx, dady, fac)
+                if fac is not None
+                else _plane_component(a0, dadx, dady, ow, oh)
+            )
+            # Non-planar f32 corners (genuinely bilinear varyings) render
+            # as two triangle planes with a diagonal seam in GL; stitch
+            # the first-triangle plane over its half.
+            resid = (float(c11) - float(c10)) - (float(c01) - float(c00))
+            scale = max(abs(float(c)) for c in (c00, c10, c01, c11)) or 1.0
+            if abs(resid) > 64.0 * np.spacing(np.float32(scale)):
+                if fac is not None:
+                    from retrocapture_tpu.graph.factored import FactoredBailout
+
+                    raise FactoredBailout("non-planar varying in factored mode")
+                b0, bdx, bdy = _plane_setup_t012_f32(ow, oh, c00, c10, c01)
+                compA = _plane_component(b0, bdx, bdy, ow, oh)
+                xs = jnp.arange(ow, dtype=jnp.float32)[None, :] + 0.5
+                ys = jnp.arange(oh, dtype=jnp.float32)[:, None] + 0.5
+                lower = xs * np.float32(oh) + ys * np.float32(ow) < np.float32(ow * oh)
+                comp = jnp.where(lower, compA, comp)
+                affs = None
+            if affs is not None:
+                affs.append((float(dadx), float(dady), float(a0)))
+            planes.append(comp)
+        if not ok:
+            continue
+        data = jnp.stack(planes, axis=-1) if cv.type.is_vector else planes[0]
+        out[name] = V(
+            data,
+            cv.type,
+            affine=tuple(affs) if affs is not None and cv.type.is_vector else None,
+        )
+    return out
+
+
+def _plane_setup_t012_f32(w: int, h: int, c00, c10, c01):
+    """Plane setup for the strip's FIRST triangle (v0,v1,v2) =
+    ((0,0),(w,0),(0,h)) — used only to stitch non-planar (bilinear)
+    varyings across the quad diagonal."""
+    f = np.float32
+    x0, y0, a0v = f(0.0), f(0.0), f(c00)
+    x1, y1, a1v = f(w), f(0.0), f(c10)
+    x2, y2, a2v = f(0.0), f(h), f(c01)
+    dx01 = f(x0 - x1)
+    dy01 = f(y0 - y1)
+    dx20 = f(x2 - x0)
+    dy20 = f(y2 - y0)
+    area = f(f(dx01 * dy20) - f(dx20 * dy01))
+    ooa = f(f(1.0) / area)
+    da01 = f(a0v - a1v)
+    da20 = f(a2v - a0v)
+    dadx = f(f(da01 * f(dy20 * ooa)) - f(da20 * f(dy01 * ooa)))
+    dady = f(f(da20 * f(dx01 * ooa)) - f(da01 * f(dx20 * ooa)))
+    a0 = f(a0v - f(f(dadx * f(x0 - f(0.5))) + f(dady * f(y0 - f(0.5)))))
+    return a0, dadx, dady
+
+
 def _eval_pass_on_grid(cp, ctx: PassContext, sh: PassShapes, fac):
     ow, oh = sh.out_w, sh.out_h
     if fac is None:
@@ -1106,6 +1314,22 @@ def _eval_pass_on_grid(cp, ctx: PassContext, sh: PassShapes, fac):
     for name in cp.vertex_eval.varying_names:
         if name in v_globals:
             f_inputs[name] = v_globals[name]
+    if cover is None and _GL_INTERP:
+        # Rasterizer-exact varyings: corner-evaluate the vertex stage and
+        # rebuild each varying with llvmpipe's float32 plane equation
+        # (bit-parity for the knife-edge mod/tie comparisons; correct
+        # corner-interpolation semantics for non-affine vertex math).
+        try:
+            planes = _plane_varyings(cp, ctx, ow, oh, fac)
+        except Exception as exc:
+            if fac is not None:
+                from retrocapture_tpu.graph.factored import FactoredBailout
+
+                # Bail factored eval back to the plain grid (where 2-D
+                # and non-planar varyings have exact lowerings).
+                raise FactoredBailout(str(exc)) from exc
+            planes = {}
+        f_inputs.update({n: pv for n, pv in planes.items() if n in f_inputs})
     frag_coord = vec4(
         xg + 0.5,
         yg + 0.5,
