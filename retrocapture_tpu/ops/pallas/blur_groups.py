@@ -143,11 +143,54 @@ def blur_groups_fits(tex_shape, out_shape, groups) -> bool:
 
 def blur5x5_groups(tex, u, v, groups, *, interpret: bool = False):
     """tex [H, W, C] f32 (pre-transformed values), u/v [HO, WO] base warp
-    → dict {channel: [HO, WO] f32 plane} with per-group scales folded."""
+    → dict {channel: [HO, WO] f32 plane} with per-group scales folded.
+
+    vmap-native: batching `tex` (u/v shared) lowers to ONE Mosaic program
+    with a leading batch grid dimension instead of jax's generic
+    pallas_call batching rule — measured 324 ms vs ~6 ms per batch of 16
+    at 1080p (the round-2 crt-mattias bottleneck)."""
+    chans = sorted({g.channel for g in groups})
+
+    @jax.custom_batching.custom_vmap
+    def run(tex_, u_, v_):
+        outs = _blur_groups_call(tex_, u_, v_, groups, interpret, batch=None)
+        return tuple(outs)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, tex_, u_, v_):  # noqa: ANN001
+        tex_b, u_b, v_b = in_batched
+        if tex_b and not u_b and not v_b:
+            outs = _blur_groups_call(tex_, u_, v_, groups, interpret, batch=axis_size)
+            return tuple(outs), tuple(True for _ in outs)
+        # Fallback: sequential map (still one program per frame).
+        outs = jax.lax.map(
+            lambda args: run(
+                args[0] if tex_b else tex_,
+                args[1] if u_b else u_,
+                args[2] if v_b else v_,
+            ),
+            (
+                tex_ if tex_b else jnp.zeros((axis_size,)),
+                u_ if u_b else jnp.zeros((axis_size,)),
+                v_ if v_b else jnp.zeros((axis_size,)),
+            ),
+        )
+        return outs, tuple(True for _ in outs)
+
+    planes = run(tex, u, v)
+    return {ch: planes[i] for i, ch in enumerate(chans)}
+
+
+def _blur_groups_call(tex, u, v, groups, interpret: bool, batch):
+    """Build and invoke the Mosaic program. `batch=None`: tex [H, W, C] →
+    planes [HO, WO]; `batch=B`: tex [B, H, W, C] → planes [B, HO, WO]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    h, w, c = tex.shape
+    if batch is None:
+        h, w, c = tex.shape
+    else:
+        _, h, w, c = tex.shape
     u = jnp.asarray(u, jnp.float32)
     v = jnp.asarray(v, jnp.float32)
     ho, wo = u.shape
@@ -156,9 +199,16 @@ def blur5x5_groups(tex, u, v, groups, *, interpret: bool = False):
 
     hp = max(((h + 7) // 8) * 8, max(plan[ch]["kb"] for ch in chans))
     wp = max(((w + 2 * TX - 1) // (2 * TX)) * (2 * TX), 2 * TX)
-    tex3 = jnp.transpose(tex.astype(jnp.float32), (0, 2, 1))  # [H, C, W]
-    if hp != h or wp != w:
-        tex3 = jnp.pad(tex3, ((0, hp - h), (0, 0), (0, wp - w)), mode="edge")
+    if batch is None:
+        tex3 = jnp.transpose(tex.astype(jnp.float32), (0, 2, 1))  # [H, C, W]
+        if hp != h or wp != w:
+            tex3 = jnp.pad(tex3, ((0, hp - h), (0, 0), (0, wp - w)), mode="edge")
+    else:
+        tex3 = jnp.transpose(tex.astype(jnp.float32), (0, 1, 3, 2))  # [B, H, C, W]
+        if hp != h or wp != w:
+            tex3 = jnp.pad(
+                tex3, ((0, 0), (0, hp - h), (0, 0), (0, wp - w)), mode="edge"
+            )
 
     wop = ((wo + TX - 1) // TX) * TX
     hop = ((ho + TY - 1) // TY) * TY
@@ -296,25 +346,38 @@ def blur5x5_groups(tex, u, v, groups, *, interpret: bool = False):
 
         jax.lax.fori_loop(0, TY, row_body, 0)
 
+    if batch is None:
+        grid = (hop // TY, wop // TX)
+        uv_spec = pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        tex_spec = pl.BlockSpec(
+            (hp, c, wp), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((hop, wop), jnp.float32) for _ in chans]
+    else:
+        # Batch rides the OUTERMOST grid dim: the (hp, c, wp) texture
+        # block re-DMAs only when b changes; u/v tiles are shared.
+        grid = (batch, hop // TY, wop // TX)
+        uv_spec = pl.BlockSpec(
+            (TY, TX), lambda b, i, j: (i, j), memory_space=pltpu.VMEM
+        )
+        tex_spec = pl.BlockSpec(
+            (None, hp, c, wp), lambda b, i, j: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (None, TY, TX), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((batch, hop, wop), jnp.float32) for _ in chans
+        ]
     planes = pl.pallas_call(
         kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((hop, wop), jnp.float32) for _ in chans
-        ],
-        grid=(hop // TY, wop // TX),
-        in_specs=[
-            pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (hp, c, wp), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-            for _ in chans
-        ],
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[uv_spec, uv_spec, tex_spec],
+        out_specs=[out_spec for _ in chans],
         interpret=interpret,
     )(u, v, tex3)
     if wop != wo or hop != ho:
-        planes = [pl_[:ho, :wo] for pl_ in planes]
-    return {ch: planes[i] for i, ch in enumerate(chans)}
+        planes = [pl_[..., :ho, :wo] for pl_ in planes]
+    return list(planes)

@@ -700,20 +700,30 @@ class Engine:
 
             def batch_fn(raw_b, state: _ChainState, pvals=None):
                 src_b = normalize(raw_b)
+                nb = src_b.shape[0]
+                # Per-frame FrameCount/Time: the reference increments once
+                # per frame (ShaderEngine.cpp:1685-1689), so frame i of a
+                # batch must see fc+i — one shared fc would freeze
+                # time-dependent shaders (noise, scanline phase) within
+                # every batch.
+                fcs = state.frame_count + jnp.arange(nb, dtype=jnp.int32)
+                tms = state.time + jnp.float32(0.016) * jnp.arange(
+                    nb, dtype=jnp.float32
+                )
 
-                def one(src):
+                def one(src, fc, tm):
                     out, _, _ = single(
                         src,
                         state.history,
                         state.feedback,
-                        state.frame_count,
-                        state.time,
+                        fc,
+                        tm,
                         pvals,
                         blit=False,
                     )
                     return out
 
-                outs = finalize(jax.vmap(one)(src_b)[..., :3])
+                outs = finalize(jax.vmap(one)(src_b, fcs, tms)[..., :3])
                 n = src_b.shape[0]
                 return outs, _ChainState(
                     state.history,
