@@ -1004,7 +1004,19 @@ class ShaderEval:
         if len(args) == 1 and args[0].type.is_scalar:
             return args[0].astype(t.base).expand_to(t.shape)
         if len(args) == 1 and args[0].type.is_matrix:
-            raise UnsupportedShaderError("vec(mat) constructor")
+            # GLSL: a matrix argument is consumed column-major, e.g.
+            # vec4(mat2) = (m[0].x, m[0].y, m[1].x, m[1].y)
+            # (crt-royale geometry-aa builds its pixel-to-video matrix
+            # this way).
+            m = args[0]
+            cols, rows = m.type.shape
+            if cols * rows < n:
+                raise GlslEvalError(f"vec{n}({m.type}) too few components")
+            xp = np if is_concrete(m.data) else jnp
+            flat = xp.reshape(
+                m.data, m.data.shape[: m.data.ndim - 2] + (cols * rows,)
+            )
+            return V(flat[..., :n], GType(t.base, (n,))).astype(t.base)
         comps = []
         comp_affs: list = []
         comp_deps: list = []
