@@ -133,6 +133,23 @@ def _not_mask(m):
     return None if m is None else jnp.logical_not(m)
 
 
+def _zero_like_elem(proto):
+    """Zero value matching an array element's type (OOB read result)."""
+    if isinstance(proto, V):
+        shape = proto.type.shape if proto.type.is_vector else ()
+        if proto.type.is_matrix:
+            shape = proto.type.shape
+        dt = {"int": np.int32, "uint": np.uint32, "bool": np.bool_}.get(
+            proto.type.base, np.float32
+        )
+        return V(np.zeros(shape, dt), proto.type)
+    if isinstance(proto, ArrayVal):
+        return ArrayVal(
+            [_zero_like_elem(e) for e in proto.elems], proto.elem_type
+        )
+    raise UnsupportedShaderError("OOB read of non-numeric array")
+
+
 def _masked_merge(old, new, mask):
     """where(mask, new, old) for any value kind."""
     if mask is None or old is None:
@@ -743,9 +760,14 @@ class ShaderEval:
         idx = self.eval(e.index)
         if isinstance(obj, ArrayVal):
             if is_concrete(idx.data) and idx.batch_shape == ():
-                # Out-of-bounds array reads are UB in GLSL; drivers clamp.
-                k = min(max(int(idx.data), 0), len(obj.elems) - 1)
-                return obj.elems[k]
+                # Out-of-bounds array reads are UB in GLSL; llvmpipe
+                # returns 0.0 (probed: a[-2] and a[n+2] both read as 0),
+                # and shaders like ntsc-xot lean on that for their
+                # chroma-window edge taps.
+                k = int(idx.data)
+                if 0 <= k < len(obj.elems):
+                    return obj.elems[k]
+                return _zero_like_elem(obj.elems[0])
             return self._dynamic_array_index(obj, idx)
         if isinstance(obj, V):
             if obj.type.is_matrix:
@@ -769,12 +791,16 @@ class ShaderEval:
         if not arr.elems:
             raise UnsupportedShaderError("index into empty array")
         proto = arr.elems[0]
-        i = jnp.clip(jnp.asarray(idx.astype("int").data), 0, len(arr.elems) - 1)
+        iraw = jnp.asarray(idx.astype("int").data)
+        i = jnp.clip(iraw, 0, len(arr.elems) - 1)
+        oob = (iraw < 0) | (iraw >= len(arr.elems))
         if isinstance(proto, V):
             datas = [jnp.asarray(x.data) for x in arr.elems]
             if jnp.ndim(i) == 0:
                 stacked = jnp.stack(datas, axis=0)
-                return V(jnp.take(stacked, i, axis=0), proto.type)
+                out = jnp.take(stacked, i, axis=0)
+                out = jnp.where(oob, jnp.zeros((), out.dtype), out)
+                return V(out, proto.type)
             # Batched index: select elementwise (a where-chain), NOT an
             # outer take — elements may themselves be batch-shaped and an
             # outer take would produce [batch, batch, ...] tensors.
@@ -790,6 +816,10 @@ class ShaderEval:
                 for _ in range(type_rank):
                     mm = mm[..., None]
                 out = jnp.where(mm, datas[k], out)
+            ob = oob
+            for _ in range(type_rank):
+                ob = ob[..., None]
+            out = jnp.where(ob, jnp.zeros((), out.dtype), out)
             return V(out, proto.type)
         if isinstance(proto, ArrayVal):
             # dynamic index into an array of arrays: recurse per element
@@ -951,8 +981,11 @@ class ShaderEval:
             obj = self.eval(target.obj)
             idx = self.eval(target.index)
             if isinstance(obj, ArrayVal) and is_concrete(idx.data):
+                k = int(idx.data)
+                if not 0 <= k < len(obj.elems):
+                    return  # OOB array write: dropped (GLSL UB; llvmpipe)
                 na = obj.copy()
-                na.elems[int(idx.data)] = val
+                na.elems[k] = val
                 self._assign_lvalue_raw(target.obj, na)
                 return
         raise UnsupportedShaderError("unsupported raw l-value")

@@ -40,6 +40,22 @@ __all__ = [
 WRAP_MODES = ("clamp_to_edge", "clamp_to_border", "repeat", "mirrored_repeat")
 
 
+def _ifloor32(x):
+    """float32 → int32 texel-index conversion with x86 semantics for
+    non-finite inputs: cvtps2dq yields INT_MIN ("integer indefinite")
+    for NaN/±inf, which clamp_to_edge then pins to texel 0. llvmpipe
+    (and numpy's C casts on the concrete paths) behave this way; XLA's
+    convert instead saturates +inf to INT32_MAX → texel n-1. Broken
+    presets that divide by an unset size uniform (e.g.
+    2xBR-lv1-multipass's OrigTextureSize, never bound by
+    ShaderEngine.cpp) sample at inf and the two conventions pick
+    opposite corners."""
+    f = jnp.floor(x)
+    return jnp.where(
+        jnp.isfinite(f), f, jnp.float32(-2147483648.0)
+    ).astype(jnp.int32)
+
+
 def _wrap_index(idx, n: int, mode: str):
     """Wrap integer texel indices into [0, n). Returns (indices, valid)
     where valid is None unless mode == clamp_to_border."""
@@ -572,7 +588,7 @@ def _axis_matrix_traced(coord, n: int, filter_linear: bool, wrap: str):
     coord = jnp.asarray(coord, jnp.float32)
     iw = jnp.arange(n, dtype=jnp.int32)[None, :]
     if not filter_linear:
-        idx = jnp.floor(coord * n).astype(jnp.int32)
+        idx = _ifloor32(coord * n)
         idx, valid = _wrap_index(idx, n, wrap)
         a = (iw == idx[:, None]).astype(jnp.float32)
         if valid is not None:
@@ -581,7 +597,7 @@ def _axis_matrix_traced(coord, n: int, filter_linear: bool, wrap: str):
     x = coord * n - 0.5
     x0f = jnp.floor(x)
     fx = (x - x0f).astype(jnp.float32)
-    x0 = x0f.astype(jnp.int32)
+    x0 = jnp.where(jnp.isfinite(x0f), x0f, jnp.float32(-2147483648.0)).astype(jnp.int32)
     i0, v0 = _wrap_index(x0, n, wrap)
     i1, v1 = _wrap_index(x0 + 1, n, wrap)
     w0 = 1.0 - fx
@@ -684,14 +700,14 @@ def _sample2d_banded(
         xx = u * w - 0.5
         x0f = jnp.floor(xx)
         fx = xx - x0f
-        x0 = x0f.astype(jnp.int32)
+        x0 = jnp.where(jnp.isfinite(x0f), x0f, jnp.float32(-2147483648.0)).astype(jnp.int32)
         yy = v * h - 0.5
         y0f = jnp.floor(yy)
         fy = yy - y0f
-        y0 = y0f.astype(jnp.int32)
+        y0 = jnp.where(jnp.isfinite(y0f), y0f, jnp.float32(-2147483648.0)).astype(jnp.int32)
     else:
-        x0 = jnp.floor(u * w).astype(jnp.int32)
-        y0 = jnp.floor(v * h).astype(jnp.int32)
+        x0 = _ifloor32(u * w)
+        y0 = _ifloor32(v * h)
         fx = fy = None
 
     iw = jnp.arange(w)[None, None, :]
@@ -810,8 +826,8 @@ def sample2d(
     v = jnp.asarray(v, jnp.float32)
 
     if not filter_linear:
-        ix = jnp.floor(u * w).astype(jnp.int32)
-        iy = jnp.floor(v * h).astype(jnp.int32)
+        ix = _ifloor32(u * w)
+        iy = _ifloor32(v * h)
         ix, vx = _wrap_index(ix, w, wrap_mode)
         iy, vy = _wrap_index(iy, h, wrap_mode)
         return _gather(tex, iy, ix, vy, vx)
@@ -822,8 +838,8 @@ def sample2d(
     y0 = jnp.floor(y)
     fx = (x - x0).astype(tex.dtype)
     fy = (y - y0).astype(tex.dtype)
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
+    x0 = jnp.where(jnp.isfinite(x0), x0, jnp.float32(-2147483648.0)).astype(jnp.int32)
+    y0 = jnp.where(jnp.isfinite(y0), y0, jnp.float32(-2147483648.0)).astype(jnp.int32)
 
     x0w, vx0 = _wrap_index(x0, w, wrap_mode)
     x1w, vx1 = _wrap_index(x0 + 1, w, wrap_mode)
