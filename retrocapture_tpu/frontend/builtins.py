@@ -24,6 +24,7 @@ from retrocapture_tpu.frontend.values import (
     V,
     align_pair,
     combine_affine,
+    devicify_mixed,
     is_concrete,
     promote_base,
     union_all_deps,
@@ -71,6 +72,8 @@ def _align_variadic(args: list[V]) -> tuple[list, GType]:
 def _cw(fn: Callable, *args: V, result_base: str | None = None) -> V:
     datas, t = _align_variadic(list(args))
     xp = _xp(*datas)
+    if xp is not np:
+        datas = devicify_mixed(datas)
     res = fn(xp, *datas)
     # Component-wise functions preserve axis-dependence: the result
     # component depends only on the axes its operands depend on.

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Protocol
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -1313,7 +1314,7 @@ class ShaderEval:
             if uv.batch_shape == (oh, ow):
                 from retrocapture_tpu.ops.sampling import sample2d_separable
 
-                d = jnp.asarray(uv.data)
+                d = uv.data if is_concrete(uv.data) else jnp.asarray(uv.data)
                 out = sample2d_separable(
                     jnp.asarray(sampler.tex),
                     d[0, :, 0],
@@ -1323,10 +1324,35 @@ class ShaderEval:
                 )
                 res_dep = dep[0] | dep[1]
                 return V(out, GType("float", (4,)), deps=(res_dep,) * 4)
+        if is_concrete(uv.data) and uv.type.is_vector and np.ndim(uv.data) == 3:
+            # Concrete grids without axis-dependence metadata: prove
+            # separability by value (plane-exact varyings folded through
+            # concrete texel math).
+            from retrocapture_tpu.ops.sampling import (
+                _separable_rows,
+                sample2d_separable,
+            )
+
+            dnp = np.asarray(uv.data, np.float32)
+            rows = _separable_rows(dnp[..., 0], dnp[..., 1])
+            if rows is not None and not sampler.mipmap:
+                out = sample2d_separable(
+                    jnp.asarray(sampler.tex),
+                    rows[0],
+                    rows[1],
+                    filter_linear=sampler.filter_linear,
+                    wrap_mode=sampler.wrap_mode,
+                )
+                return V(out, GType("float", (4,)))
 
         d = uv.data
         if is_concrete(d):
             d = np.asarray(d, np.float32)
+            if d.ndim >= 3 and d.size > (1 << 16):
+                # Genuinely warped concrete grids: ship as runtime data
+                # behind a barrier, not as an HLO literal XLA would
+                # constant-fold single-threaded.
+                d = jax.lax.optimization_barrier(jnp.asarray(d))
         u, v = d[..., 0], d[..., 1]
         n_traced = getattr(self.ctx, "warp_taps_traced", 0)
         if hasattr(self.ctx, "warp_taps_traced") and np.ndim(u) == 2:

@@ -173,6 +173,37 @@ def scalar_of(value: float, base: str = "float") -> "V":
     return V(np.asarray(value, _NP_DTYPES[base]), GType(base, ()))
 
 
+def smart_device(x):
+    """Concrete value → device array WITHOUT large HLO literals.
+
+    Plane-exact varyings are concrete numpy broadcast views, and every
+    axis-pure expression the fragment evaluator folds from them stays
+    row- or column-constant over the [oh, ow] grid. When such a value
+    finally meets a traced operand, rebuild it as (small literal vector)
+    + broadcast instead of letting jax embed the full grid: XLA
+    constant-folds large literals single-threaded at O(pixels) per
+    instruction (the round-1 155 s compile pathology)."""
+    import jax.numpy as jnp
+
+    if not isinstance(x, np.ndarray) or x.ndim < 2 or x.size <= (1 << 14):
+        return jnp.asarray(x)
+    st = x.strides
+    if st[0] == 0 or np.all(x == x[:1]):
+        return jnp.broadcast_to(jnp.asarray(np.ascontiguousarray(x[:1])), x.shape)
+    if st[1] == 0 or np.all(x == x[:, :1]):
+        return jnp.broadcast_to(jnp.asarray(np.ascontiguousarray(x[:, :1])), x.shape)
+    return jnp.asarray(x)
+
+
+def devicify_mixed(datas):
+    """Given op operand datas, convert concrete numpy arrays via
+    smart_device when at least one operand is traced (jax would embed
+    them as literals otherwise)."""
+    if all(is_concrete(d) for d in datas):
+        return datas
+    return [smart_device(d) if isinstance(d, np.ndarray) else d for d in datas]
+
+
 class V:
     """A typed GLSL value.
 
@@ -478,10 +509,19 @@ def promote_base(a: str, b: str) -> str:
 
 def align_pair(a: V, b: V) -> tuple[V, V, GType]:
     """Align two operands for a component-wise binary op per GLSL rules:
-    scalars broadcast against vectors/matrices; bases promote."""
+    scalars broadcast against vectors/matrices; bases promote. Mixed
+    concrete/traced pairs route the concrete side through smart_device
+    so axis-pure grids enter the jit as vector+broadcast, not as full
+    [oh, ow] literals."""
     base = promote_base(a.type.base, b.type.base)
     a = a.astype(base)
     b = b.astype(base)
+    ac, bc = is_concrete(a.data), is_concrete(b.data)
+    if ac != bc:
+        if ac and isinstance(a.data, np.ndarray) and a.data.ndim >= 2:
+            a = V(smart_device(a.data), a.type, affine=a.affine, deps=a.deps)
+        elif bc and isinstance(b.data, np.ndarray) and b.data.ndim >= 2:
+            b = V(smart_device(b.data), b.type, affine=b.affine, deps=b.deps)
     if a.type.shape == b.type.shape:
         return a, b, a.type
     if a.type.is_scalar:

@@ -368,6 +368,9 @@ def _phase_sliced_take(tex, pat, m: int, axis: int):
         limit[axis] = c + a * (m - 1) + 1
         stride[axis] = a
         return jax.lax.slice(tex, start, limit, stride)
+    # b > 1: out[b*k + r] = tex[a*k + (a*r + c)//b] — per-phase strided
+    # slices stacked on a new minor axis and reshaped back (the reshape
+    # is contiguity-preserving, so no transpose).
     mq = (m + b - 1) // b
     parts = []
     for r in range(b):
@@ -626,6 +629,20 @@ def sample2d_separable(
     if wrap_mode not in WRAP_MODES:
         wrap_mode = "clamp_to_edge"
     h, w, _ = tex.shape
+    if isinstance(u_row, np.ndarray) and isinstance(v_col, np.ndarray):
+        # Concrete per-axis coordinates (plane-exact varyings folded
+        # through the shader's texel math at trace time): rational tap
+        # progressions lower to repeat+strided-slices, which XLA fuses
+        # into the consuming arithmetic — no matrices, no matmuls.
+        out = _separable_slices(
+            tex,
+            np.asarray(u_row, np.float32),
+            np.asarray(v_col, np.float32),
+            filter_linear,
+            wrap_mode,
+        )
+        if out is not None:
+            return out.astype(tex.dtype)
     ax = _axis_matrix_traced(u_row, w, filter_linear, wrap_mode)
     ay = _axis_matrix_traced(v_col, h, filter_linear, wrap_mode)
     th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH)

@@ -1052,25 +1052,31 @@ def _plane_setup_f32(w: int, h: int, c10, c11, c01):
 
 def _plane_component(a0, dadx, dady, ow: int, oh: int):
     """Per-pixel plane evaluation ``f32(f32(a0 + dadx*x) + dady*y)`` at
-    integer pixel coords, decomposed into per-axis vectors so the jit
-    sees small literals + broadcasts instead of an [oh, ow] HLO constant
-    (which XLA constant-folds single-threaded — the round-1 155 s
-    compile pathology, see ops/sampling._axis_matrix_device)."""
+    integer pixel coords, as a CONCRETE numpy broadcast view.
+
+    Concreteness is the point: the fragment evaluator then runs every
+    varying-derived expression (floor/fract/clamp texel sharpening,
+    scanline sin factors, ...) in numpy at trace time, so coordinate
+    math reaches the samplers as concrete per-axis vectors — eligible
+    for the gather-free repeat-slice taps — and per-pixel factors fold
+    to constants instead of costing full-resolution HBM passes at run
+    time. The device boundary rebuilds axis structure (engine/_cw
+    `smart_device`) so no [oh, ow] HLO literal is ever emitted (the
+    round-1 155 s compile pathology)."""
     inner = (np.float64(dadx) * np.arange(ow, dtype=np.float64) + np.float64(a0)).astype(
         np.float32
     )
     if dady == 0.0:
-        return jnp.broadcast_to(jnp.asarray(inner)[None, :], (oh, ow))
+        return np.broadcast_to(inner[None, :], (oh, ow))
     if dadx == 0.0:
         col = (np.float64(dady) * np.arange(oh, dtype=np.float64) + np.float64(a0)).astype(
             np.float32
         )
-        return jnp.broadcast_to(jnp.asarray(col)[:, None], (oh, ow))
-    grid = (
+        return np.broadcast_to(col[:, None], (oh, ow))
+    return (
         inner[None, :].astype(np.float64)
         + np.float64(dady) * np.arange(oh, dtype=np.float64)[:, None]
     ).astype(np.float32)
-    return jnp.asarray(grid)
 
 
 def _plane_component_fac(a0, dadx, dady, fac):
@@ -1181,17 +1187,20 @@ def _plane_varyings(cp, ctx: PassContext, ow: int, oh: int, fac=None):
                     raise FactoredBailout("non-planar varying in factored mode")
                 b0, bdx, bdy = _plane_setup_t012_f32(ow, oh, c00, c10, c01)
                 compA = _plane_component(b0, bdx, bdy, ow, oh)
-                xs = jnp.arange(ow, dtype=jnp.float32)[None, :] + 0.5
-                ys = jnp.arange(oh, dtype=jnp.float32)[:, None] + 0.5
+                xs = np.arange(ow, dtype=np.float32)[None, :] + np.float32(0.5)
+                ys = np.arange(oh, dtype=np.float32)[:, None] + np.float32(0.5)
                 lower = xs * np.float32(oh) + ys * np.float32(ow) < np.float32(ow * oh)
-                comp = jnp.where(lower, compA, comp)
+                comp = np.where(lower, compA, comp)
                 affs = None
             if affs is not None:
                 affs.append((float(dadx), float(dady), float(a0)))
             planes.append(comp)
         if not ok:
             continue
-        data = jnp.stack(planes, axis=-1) if cv.type.is_vector else planes[0]
+        if fac is not None:
+            data = jnp.stack(planes, axis=-1) if cv.type.is_vector else planes[0]
+        else:
+            data = np.stack(planes, axis=-1) if cv.type.is_vector else planes[0]
         out[name] = V(
             data,
             cv.type,
@@ -1340,19 +1349,43 @@ def _eval_pass_on_grid(cp, ctx: PassContext, sh: PassShapes, fac):
                 raise FactoredBailout(str(exc)) from exc
             planes = {}
         f_inputs.update({n: pv for n, pv in planes.items() if n in f_inputs})
-    frag_coord = vec4(
-        xg + 0.5,
-        yg + 0.5,
-        zeros,
-        ones,
-        ((1.0, 0.0, 0.5), (0.0, 1.0, 0.5), c0, c1),
-    )
+    if fac is None and cover is None and _GL_INTERP:
+        # Concrete gl_FragCoord: per-axis numpy broadcast views, so
+        # fragCoord-derived masks (comb patterns, interlace mod) fold at
+        # trace time like the plane varyings do.
+        xc = np.broadcast_to(
+            (np.arange(ow, dtype=np.float32) + np.float32(0.5))[None, :], (oh, ow)
+        )
+        yc = np.broadcast_to(
+            (np.arange(oh, dtype=np.float32) + np.float32(0.5))[:, None], (oh, ow)
+        )
+        fc_data = np.stack(
+            [xc, yc, np.zeros((oh, ow), np.float32), np.ones((oh, ow), np.float32)],
+            axis=-1,
+        )
+        frag_coord = V(
+            fc_data,
+            GType("float", (4,)),
+            affine=((1.0, 0.0, 0.5), (0.0, 1.0, 0.5), c0, c1),
+        )
+    else:
+        frag_coord = vec4(
+            xg + 0.5,
+            yg + 0.5,
+            zeros,
+            ones,
+            ((1.0, 0.0, 0.5), (0.0, 1.0, 0.5), c0, c1),
+        )
     f_inputs["gl_FragCoord"] = frag_coord
 
     _, out_color, discard_mask = cp.fragment_eval.run(ctx, f_inputs)
     if out_color is None:
         raise UnsupportedShaderError(f"pass {cp.index}: no output color written")
-    data = jnp.asarray(out_color.data)
+    from retrocapture_tpu.frontend.values import smart_device
+
+    data = smart_device(out_color.data) if isinstance(
+        out_color.data, np.ndarray
+    ) else jnp.asarray(out_color.data)
     if discard_mask is not None and discard_mask is not False:
         if discard_mask is True:
             data = jnp.zeros_like(data)
