@@ -508,6 +508,69 @@ def _b_pow(a: V, b: V) -> V:
     return _cw(fn, a, b, result_base="float")
 
 
+def _lp_trig(xp, xin, want_cos: bool):
+    """llvmpipe's sin/cos, bit-matched (99.9% exact over [0, pi],
+    probed 2026-08-17 via RGBA32F readback): sse_mathfun-style octant
+    reduction (truncate, (j+1)&~1), 3-step Cody-Waite pi/4 split, and
+    the minimax polynomials evaluated with x86 FMA contraction. Shaders
+    hash with fract(sin(x)*43758.5453) (crt-mattias rand(), pal
+    moire, ...), where any ulp difference from the driver's polynomial
+    decorrelates the whole noise field — matching the driver is the
+    only way those presets can score.
+
+    On the concrete (numpy) path FMA is emulated in f64 (exact single
+    rounding). The traced path uses stepped f32 ops (~99% exact, 1-ulp
+    tail): TPUs have no f64 and no exposed scalar FMA."""
+    f = np.float32
+    if xp is np:
+        def fma(a, b, c):
+            return (np.float64(a) * np.float64(b) + np.float64(c)).astype(f)
+    else:
+        def fma(a, b, c):
+            return a * b + c
+    x = xp.asarray(xin, f) if xp is np else xin.astype(jnp.float32)
+    sign = xp.signbit(x) if not want_cos else xp.zeros(xp.shape(x) if xp is jnp else np.shape(x), bool)
+    x = xp.abs(x)
+    y = x * f(1.27323954473516)
+    j = y.astype(np.int32 if xp is np else jnp.int32)
+    j = (j + 1) & ~1
+    yf = j.astype(f)
+    if want_cos:
+        j = j + 2
+    jm = j & 7
+    z = x - yf * f(0.78515625)
+    z = z.astype(f) if xp is np else z
+    z = z - yf * f(2.4187564849853515625e-4)
+    z = z.astype(f) if xp is np else z
+    z = z - yf * f(3.77489497744594108e-8)
+    z = z.astype(f) if xp is np else z
+    zz = (z * z).astype(f) if xp is np else z * z
+    p = fma(f(-1.9515295891e-4), zz, f(8.3321608736e-3))
+    p = fma(p, zz, f(-1.6666654611e-1))
+    s = fma((p * zz).astype(f) if xp is np else p * zz, z, z)
+    q = fma(f(2.443315711809948e-5), zz, f(-1.388731625493765e-3))
+    q = fma(q, zz, f(4.166664568298827e-2))
+    zz2 = (zz * zz).astype(f) if xp is np else zz * zz
+    c = (q * zz2).astype(f) if xp is np else q * zz2
+    c = c - f(0.5) * zz
+    c = c.astype(f) if xp is np else c
+    c = c + f(1.0)
+    c = c.astype(f) if xp is np else c
+    sel_cos = (jm == 1) | (jm == 2) | (jm == 5) | (jm == 6)
+    sgn = jm >= 4
+    r = xp.where(sel_cos, c, s)
+    out = xp.where(sgn ^ sign, -r, r)
+    return out.astype(f) if xp is np else out
+
+
+def _b_sin(a: V) -> V:
+    return _cw(lambda xp, d: _lp_trig(xp, d, False), a, result_base="float")
+
+
+def _b_cos(a: V) -> V:
+    return _cw(lambda xp, d: _lp_trig(xp, d, True), a, result_base="float")
+
+
 def _b_exp(a):
     return _cw(lambda xp, d: xp.exp(d), a, result_base="float")
 
@@ -569,8 +632,8 @@ def _b_int_bits_to_float(a: V) -> V:
 _BUILTINS: dict[str, Callable] = {
     "radians": lambda a: _cw(lambda xp, d: d * np.float32(np.pi / 180.0), a, result_base="float"),
     "degrees": lambda a: _cw(lambda xp, d: d * np.float32(180.0 / np.pi), a, result_base="float"),
-    "sin": _simple("sin"),
-    "cos": _simple("cos"),
+    "sin": _b_sin,
+    "cos": _b_cos,
     "tan": _simple("tan"),
     "asin": lambda a: _cw(lambda xp, d: xp.arcsin(xp.clip(d, -1.0, 1.0)), a, result_base="float"),
     "acos": lambda a: _cw(lambda xp, d: xp.arccos(xp.clip(d, -1.0, 1.0)), a, result_base="float"),
