@@ -348,7 +348,10 @@ class Engine:
             state = self._get_state(
                 key, jnp.float32, seed_source=self._history_seed(key, arr, packed)
             )
-            fn = self._get_jit(key, u8=output == "u8")
+            fc_static = (
+                int(np.asarray(state.frame_count)) if _CONCRETE_FC else None
+            )
+            fn = self._get_jit(key, u8=output == "u8", fc_static=fc_static)
             temporal = self._program.uses_history() or self._program.uses_feedback()
             if self._mesh is not None and not temporal:
                 from retrocapture_tpu.parallel.mesh import shard_frames
@@ -602,8 +605,8 @@ class Engine:
             pw = int(round(mh * aspect))
         return max((pw // 2) * 2, 2), max((ph // 2) * 2, 2)
 
-    def _get_jit(self, key, u8: bool = False):
-        cache_key = (key, u8, self._effective_param_mode())
+    def _get_jit(self, key, u8: bool = False, fc_static=None):
+        cache_key = (key, u8, self._effective_param_mode(), fc_static)
         fn = self._jit_cache.get(cache_key)
         if fn is not None:
             return fn
@@ -671,7 +674,41 @@ class Engine:
                 )(src_b)
             return src_b
 
-        if temporal:
+        if fc_static is not None:
+            # Concrete-FrameCount mode (RCTPU_CONCRETE_FC=1, used by the
+            # GL-parity harnesses): frames run unrolled with FrameCount
+            # and Time as trace-time constants, so time-dependent math
+            # (noise seeds `xy * float(FrameCount)`, scanline phase)
+            # folds through the exact numpy path — matching the
+            # reference, where every uniform is concrete per draw call.
+            # Costs one retrace per frame_count value; never the default.
+
+            def batch_fn(raw_b, state: _ChainState, pvals=None):
+                src_b = normalize(raw_b)
+                nb = src_b.shape[0]
+                hist, fb = state.history, state.feedback
+                outs = []
+                for i in range(nb):
+                    out, hist, fb = single(
+                        src_b[i],
+                        hist,
+                        fb,
+                        np.int32(fc_static + i),
+                        np.float32(0.016) * np.float32(fc_static + i),
+                        pvals,
+                        blit=False,
+                        allow_factored=not temporal,
+                    )
+                    outs.append(out)
+                outs = finalize(jnp.stack(outs)[..., :3])
+                return outs, _ChainState(
+                    hist,
+                    fb,
+                    state.frame_count + nb,
+                    state.time + jnp.float32(0.016) * nb,
+                )
+
+        elif temporal:
 
             def batch_fn(raw_b, state: _ChainState, pvals=None):
                 src_b = normalize(raw_b)
@@ -1017,6 +1054,7 @@ def _quad_transform(v_globals, ow: int, oh: int):
 
 
 _GL_INTERP = os.environ.get("RCTPU_GL_INTERP", "1") != "0"
+_CONCRETE_FC = os.environ.get("RCTPU_CONCRETE_FC", "0") == "1"
 
 
 def _plane_setup_f32(w: int, h: int, c10, c11, c01):
