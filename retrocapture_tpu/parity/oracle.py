@@ -148,15 +148,25 @@ class OracleEngine:
             preset = Preset.load(path)
         self._program = compile_preset(preset)
         self._sources = []
+        from retrocapture_tpu.graph.plan import _compat_rewrites
+
         for i, cfg in enumerate(preset.passes):
             src = Path(cfg.shader_path).read_text(encoding="utf-8", errors="replace")
+            # Same per-shader compatibility injections the reference's
+            # ShaderPreprocessor applies before its GL compile
+            # (ShaderPreprocessor.cpp:527-634) — the oracle must render
+            # the shader the reference actually runs (box-center's
+            # border test black-screens otherwise).
+            src = _compat_rewrites(src, cfg.shader_path, cfg)
             vs, _ = preprocess(src, "vertex", filename=cfg.shader_path)
             fs, _ = preprocess(src, "fragment", filename=cfg.shader_path)
             vs = self._zero_init_varyings(vs, self._program.passes[i])
             # The real GLSL compiler needs the #version line our parser
-            # strips; compatibility profile accepts both legacy and 330
-            # constructs in one context.
-            pre = "#version 330 compatibility\n"
+            # strips; compatibility profile accepts both legacy and
+            # modern constructs in one context. 430 for arrays-of-arrays
+            # and 420pack C-style initializers (bayer dither,
+            # phosphorlut, powervr2 families).
+            pre = "#version 430 compatibility\n"
             self._sources.append((pre + vs, pre + fs))
         self.reset_state()
         return True
@@ -220,6 +230,11 @@ class OracleEngine:
             arr = np.concatenate([arr, np.ones(arr.shape[:-1] + (1,), np.float32)], -1)
         h, w = arr.shape[:2]
         vw, vh = self._viewport or (w, h)
+        if getattr(self, "_compile_failed", False):
+            final = arr
+            if final.shape[0] != vh or final.shape[1] != vw:
+                final = _resize_bilinear_np(final, vw, vh)
+            return final[..., :3]
         prog = self._program
         preset = prog.preset
         shapes = compute_chain_shapes(preset, w, h, vw, vh)
@@ -282,7 +297,20 @@ class OracleEngine:
                 frame_time=np.float32(self.time),
                 params={k: np.float32(v) for k, v in params.items()},
             )
-            out = self._run_gl_pass(cp, ctx, cfg, sh)
+            try:
+                out = self._run_gl_pass(cp, ctx, cfg, sh)
+            except RuntimeError:
+                # A pass the real GLSL compiler rejects (e.g. reshade/
+                # bloom's later passes reference parameters only pass 0
+                # declares): the reference degrades the WHOLE chain to
+                # passthrough on any pass compile failure
+                # (ShaderEngine.cpp:294-314). Mirror that so both sides
+                # present the same degraded output.
+                self._compile_failed = True
+                final = arr
+                if final.shape[0] != vh or final.shape[1] != vw:
+                    final = _resize_bilinear_np(final, vw, vh)
+                return final[..., :3]
             outputs_raw.append(out)
             pass_outputs.append(TexBinding(out, *filter_of_output(i)))
             current = out
@@ -358,15 +386,39 @@ class OracleEngine:
             else ("srgb8" if cfg.srgb_framebuffer else "rgba8")
         )
         vs, fs = self._sources[cp.index]
-        out = self._oracle.run_pass(
-            vs,
-            fs,
-            sh.out_w,
-            sh.out_h,
-            textures=textures,
-            uniforms=uniforms,
-            fbo=fbo,
-        )
+        try:
+            out = self._oracle.run_pass(
+                vs,
+                fs,
+                sh.out_w,
+                sh.out_h,
+                textures=textures,
+                uniforms=uniforms,
+                fbo=fbo,
+            )
+        except RuntimeError as exc:
+            # The reference auto-repairs `vec3 x = COMPAT_TEXTURE(...)`
+            # type errors by source rewriting + recompile
+            # (ShaderEngine.cpp:450-530): lenient desktop drivers accept
+            # the implicit vec4→vec3 truncation these shaders rely on,
+            # strict Mesa GLSL does not. Appending `.xyz` to the
+            # initializer implements the truncation semantics without
+            # changing the variable's type (the reference's vec4
+            # redeclaration breaks downstream vec4(x, 1.0) constructors
+            # on strict compilers).
+            fixed = _repair_vec3_texture_init(fs)
+            if fixed == fs:
+                raise
+            self._sources[cp.index] = (vs, fixed)
+            out = self._oracle.run_pass(
+                vs,
+                fixed,
+                sh.out_w,
+                sh.out_h,
+                textures=textures,
+                uniforms=uniforms,
+                fbo=fbo,
+            )
         if fbo == "srgb8":
             # glReadPixels returns the STORED (sRGB-encoded) bytes; a GL
             # sampler of the SRGB8 texture would decode to linear, and the
@@ -410,3 +462,33 @@ def _resize_bilinear_np(tex: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     top = t00 + (t01 - t00) * fx
     bot = t10 + (t11 - t10) * fx
     return (top + (bot - top) * fy).astype(np.float32)
+
+
+def _repair_vec3_texture_init(src: str) -> str:
+    """Rewrite ``vec3 x = texture*(...)`` to ``vec3 x = texture*(...).xyz``
+    (balanced-paren scan), implementing the implicit vec4→vec3
+    truncation lenient drivers grant these shaders."""
+    import re
+
+    out = []
+    pos = 0
+    pat = re.compile(
+        r"\bvec3\s+\w+\s*=\s*(?:COMPAT_TEXTURE|texture2D|texture)\s*\("
+    )
+    while True:
+        m = pat.search(src, pos)
+        if m is None:
+            out.append(src[pos:])
+            break
+        depth = 1
+        i = m.end()
+        while i < len(src) and depth:
+            if src[i] == "(":
+                depth += 1
+            elif src[i] == ")":
+                depth -= 1
+            i += 1
+        out.append(src[pos:i])
+        out.append(".xyz")
+        pos = i
+    return "".join(out)
