@@ -17,6 +17,13 @@ import sys
 import time
 from pathlib import Path
 
+import os
+
+# Parity harness mode: FrameCount/Time concrete per frame (one retrace
+# per frame) so time-dependent math folds through the exact numpy path,
+# mirroring the reference where uniforms are concrete per draw call.
+os.environ.setdefault("RCTPU_CONCRETE_FC", "1")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
