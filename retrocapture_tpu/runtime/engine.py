@@ -1236,7 +1236,13 @@ def _plane_varyings(cp, ctx: PassContext, ow: int, oh: int, fac=None):
         if not ok:
             continue
         if fac is not None:
-            data = jnp.stack(planes, axis=-1) if cv.type.is_vector else planes[0]
+            if cv.type.is_vector:
+                shp = jnp.broadcast_shapes(*(p.shape for p in planes))
+                data = jnp.stack(
+                    [jnp.broadcast_to(p, shp) for p in planes], axis=-1
+                )
+            else:
+                data = planes[0]
         else:
             data = np.stack(planes, axis=-1) if cv.type.is_vector else planes[0]
         out[name] = V(
