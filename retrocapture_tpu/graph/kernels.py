@@ -214,9 +214,11 @@ def _xbr_axis_maps(ctx, ow: int, oh: int, w: int, h: int):
 
     cp = ctx.program.passes[ctx.i]
     try:
-        planes = _plane_varyings(cp, ctx, ow, oh)
+        planes, plane_cover = _plane_varyings(cp, ctx, ow, oh)
     except Exception:
         return None
+    if plane_cover is not None:
+        return None  # transformed quad: evaluator path handles coverage
     need = ["TEX0", "TEX1", "TEX2", "TEX3", "TEX4", "TEX5", "TEX6", "TEX7"]
     for nm in need:
         v = planes.get(nm)

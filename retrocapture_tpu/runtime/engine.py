@@ -1057,6 +1057,58 @@ _GL_INTERP = os.environ.get("RCTPU_GL_INTERP", "1") != "0"
 _CONCRETE_FC = os.environ.get("RCTPU_CONCRETE_FC", "0") == "1"
 
 
+def _plane_setup_f32_pos(p0, p1, p2, a0v, a1v, a2v):
+    """llvmpipe plane setup from arbitrary (snapped) screen-space
+    triangle positions — the general form of _plane_setup_f32 used when
+    ``gl_Position`` is a non-identity quad (integer-prescale-with-border
+    vertex shaders scale the clip position; the rasterized quad then
+    covers a sub- or super-region of the render target)."""
+    f = np.float32
+    x0, y0 = f(p0[0]), f(p0[1])
+    x1, y1 = f(p1[0]), f(p1[1])
+    x2, y2 = f(p2[0]), f(p2[1])
+    a0v, a1v, a2v = f(a0v), f(a1v), f(a2v)
+    dx01 = f(x0 - x1)
+    dy01 = f(y0 - y1)
+    dx20 = f(x2 - x0)
+    dy20 = f(y2 - y0)
+    area = f(f(dx01 * dy20) - f(dx20 * dy01))
+    if area == 0.0:
+        return None
+    ooa = f(f(1.0) / area)
+    da01 = f(a0v - a1v)
+    da20 = f(a2v - a0v)
+    dadx = f(f(da01 * f(dy20 * ooa)) - f(da20 * f(dy01 * ooa)))
+    dady = f(f(da20 * f(dx01 * ooa)) - f(da01 * f(dx20 * ooa)))
+    a0 = f(a0v - f(f(dadx * f(x0 - f(0.5))) + f(dady * f(y0 - f(0.5)))))
+    return a0, dadx, dady
+
+
+def _snap16(x):
+    """lp_setup's 1/16-subpixel fixed-point vertex snapping."""
+    return np.float32(np.round(np.float64(x) * 16.0) / 16.0)
+
+
+def _quad_screen_corners(gp, ow: int, oh: int):
+    """Screen-space (col, row) corners from concrete gl_Position corner
+    values [[c00,c10],[c01,c11]] (vec4), via the GL viewport transform +
+    1/16 snapping. Returns (corners dict, identity flag) or None when
+    not an affine no-perspective quad."""
+    arr = np.asarray(gp, np.float64)
+    if arr.shape != (2, 2, 4):
+        return None
+    ws = arr[..., 3]
+    if not np.allclose(ws, 1.0, rtol=0, atol=1e-9):
+        return None
+    sx = _snap16((arr[..., 0] * 0.5 + 0.5) * ow)
+    sy = _snap16((arr[..., 1] * 0.5 + 0.5) * oh)
+    ident = (
+        np.array_equal(sx, np.array([[0.0, ow], [0.0, ow]], np.float32))
+        and np.array_equal(sy, np.array([[0.0, 0.0], [oh, oh]], np.float32))
+    )
+    return (sx, sy), ident
+
+
 def _plane_setup_f32(w: int, h: int, c10, c11, c01):
     """llvmpipe triangle-plane setup, bit-exact (probed 2026-08-17 over
     7 viewport sizes against the real-GL oracle with RGBA32F readback).
@@ -1180,8 +1232,41 @@ def _plane_varyings(cp, ctx: PassContext, ow: int, oh: int, fac=None):
     try:
         v_globals, _, _ = cp.vertex_eval.run(ctx, ins)
     except Exception:
-        return {}
+        return {}, None
     from retrocapture_tpu.frontend.values import is_concrete
+
+    # Screen-space corner positions from gl_Position (viewport transform
+    # + 1/16 vertex snapping): identity quads use the probed integer-
+    # corner setup; scaled quads (integer-prescale-with-border vertex
+    # shaders) interpolate across their actual rasterized rectangle and
+    # come with a coverage mask (pixels outside are cleared black by the
+    # per-pass glClear).
+    gp = v_globals.get("gl_Position")
+    if not isinstance(gp, V) or not is_concrete(gp.data):
+        return {}, None
+    try:
+        gp_c = np.broadcast_to(np.asarray(gp.data, np.float32), (2, 2, 4))
+    except ValueError:
+        return {}, None
+    qc = _quad_screen_corners(gp_c, ow, oh)
+    if qc is None:
+        return {}, None
+    (qsx, qsy), identity_quad = qc
+    cover = None
+    if not identity_quad:
+        if fac is not None:
+            from retrocapture_tpu.graph.factored import FactoredBailout
+
+            raise FactoredBailout("non-identity gl_Position quad")
+        xlo, xhi = float(qsx.min()), float(qsx.max())
+        ylo, yhi = float(qsy.min()), float(qsy.max())
+        covx = ((np.arange(ow, dtype=np.float64) + 0.5) >= xlo) & (
+            (np.arange(ow, dtype=np.float64) + 0.5) < xhi
+        )
+        covy = ((np.arange(oh, dtype=np.float64) + 0.5) >= ylo) & (
+            (np.arange(oh, dtype=np.float64) + 0.5) < yhi
+        )
+        cover = (covy, covx)
 
     out = {}
     for name in cp.vertex_eval.varying_names:
@@ -1207,7 +1292,21 @@ def _plane_varyings(cp, ctx: PassContext, ow: int, oh: int, fac=None):
             if not np.all(np.isfinite([c00, c10, c01, c11])):
                 ok = False
                 break
-            a0, dadx, dady = _plane_setup_f32(ow, oh, c10, c11, c01)
+            if identity_quad:
+                plane = _plane_setup_f32(ow, oh, c10, c11, c01)
+            else:
+                plane = _plane_setup_f32_pos(
+                    (qsx[0, 1], qsy[0, 1]),
+                    (qsx[1, 1], qsy[1, 1]),
+                    (qsx[1, 0], qsy[1, 0]),
+                    c10,
+                    c11,
+                    c01,
+                )
+                if plane is None:
+                    ok = False
+                    break
+            a0, dadx, dady = plane
             comp = (
                 _plane_component_fac(a0, dadx, dady, fac)
                 if fac is not None
@@ -1218,7 +1317,7 @@ def _plane_varyings(cp, ctx: PassContext, ow: int, oh: int, fac=None):
             # the first-triangle plane over its half.
             resid = (float(c11) - float(c10)) - (float(c01) - float(c00))
             scale = max(abs(float(c)) for c in (c00, c10, c01, c11)) or 1.0
-            if abs(resid) > 64.0 * np.spacing(np.float32(scale)):
+            if abs(resid) > 64.0 * np.spacing(np.float32(scale)) and identity_quad:
                 if fac is not None:
                     from retrocapture_tpu.graph.factored import FactoredBailout
 
@@ -1250,7 +1349,7 @@ def _plane_varyings(cp, ctx: PassContext, ow: int, oh: int, fac=None):
             cv.type,
             affine=tuple(affs) if affs is not None and cv.type.is_vector else None,
         )
-    return out
+    return out, cover
 
 
 def _plane_setup_t012_f32(w: int, h: int, c00, c10, c01):
@@ -1336,7 +1435,35 @@ def _eval_pass_on_grid(cp, ctx: PassContext, sh: PassShapes, fac):
     v_globals, _, _ = cp.vertex_eval.run(ctx, v_inputs)
 
     cover = None
-    quad = _quad_transform(v_globals, ow, oh)
+    planes = {}
+    plane_cover = None
+    if _GL_INTERP:
+        # Rasterizer-exact varyings: corner-evaluate the vertex stage
+        # and rebuild each varying with llvmpipe's float32 plane
+        # equations (bit-parity for knife-edge mod/tie comparisons;
+        # correct corner-interpolation semantics for non-affine vertex
+        # math; scaled gl_Position quads interpolate across their
+        # actual rasterized rectangle with a coverage mask).
+        try:
+            planes, plane_cover = _plane_varyings(cp, ctx, ow, oh, fac)
+        except Exception as exc:
+            if fac is not None:
+                from retrocapture_tpu.graph.factored import FactoredBailout
+
+                raise FactoredBailout(str(exc)) from exc
+            planes, plane_cover = {}, None
+    if planes and plane_cover is not None:
+        # A transformed quad demands every consumed varying come from
+        # the planes; a leftover identity-grid varying would be wrong.
+        for name in cp.vertex_eval.varying_names:
+            gv = v_globals.get(name)
+            if isinstance(gv, V) and gv.type.base == "float" and name not in planes:
+                planes, plane_cover = {}, None
+                break
+    if planes and plane_cover is not None:
+        covy, covx = plane_cover
+        cover = jnp.asarray(covy)[:, None] & jnp.asarray(covx)[None, :]
+    quad = None if planes else _quad_transform(v_globals, ow, oh)
     if quad is not None:
         if fac is not None:
             from retrocapture_tpu.graph.factored import FactoredBailout
@@ -1377,23 +1504,8 @@ def _eval_pass_on_grid(cp, ctx: PassContext, sh: PassShapes, fac):
     for name in cp.vertex_eval.varying_names:
         if name in v_globals:
             f_inputs[name] = v_globals[name]
-    if cover is None and _GL_INTERP:
-        # Rasterizer-exact varyings: corner-evaluate the vertex stage and
-        # rebuild each varying with llvmpipe's float32 plane equation
-        # (bit-parity for the knife-edge mod/tie comparisons; correct
-        # corner-interpolation semantics for non-affine vertex math).
-        try:
-            planes = _plane_varyings(cp, ctx, ow, oh, fac)
-        except Exception as exc:
-            if fac is not None:
-                from retrocapture_tpu.graph.factored import FactoredBailout
-
-                # Bail factored eval back to the plain grid (where 2-D
-                # and non-planar varyings have exact lowerings).
-                raise FactoredBailout(str(exc)) from exc
-            planes = {}
-        f_inputs.update({n: pv for n, pv in planes.items() if n in f_inputs})
-    if fac is None and cover is None and _GL_INTERP:
+    f_inputs.update({n: pv for n, pv in planes.items() if n in f_inputs})
+    if fac is None and quad is None and _GL_INTERP:
         # Concrete gl_FragCoord: per-axis numpy broadcast views, so
         # fragCoord-derived masks (comb patterns, interlace mod) fold at
         # trace time like the plane varyings do.
