@@ -315,10 +315,21 @@ class ShaderEval:
         dims = d.array_size if d is not None else None
         if ts.name in self.structs:
             sd = self.structs[ts.name]
-            fields = {
-                fname: self._zero_for_type(ftype.name)
-                for ftype, fname, _ in sd.fields
-            }
+            fields = {}
+            for ftype, fname, fdims in sd.fields:
+                if ftype.name in self.structs:
+                    # Nested struct field (voxel-world's
+                    # VoxelMarchResult.first: VoxelHit) — recurse so
+                    # member access finds a StructVal, not a scalar.
+                    fields[fname] = self._zero_value(ftype, None)
+                else:
+                    fields[fname] = self._zero_for_type(ftype.name)
+                if fdims is not None:
+                    n = self._static_int(fdims) if not isinstance(fdims, list) else (
+                        self._static_int(fdims[0]) if fdims and fdims[0] is not None else 0
+                    )
+                    elem_t = TYPE_NAMES.get(ftype.name, FLOAT)
+                    fields[fname] = ArrayVal([fields[fname]] * max(n, 0), elem_t)
             base = StructVal(ts.name, fields)
         else:
             base = self._zero_for_type(ts.name)
@@ -1135,15 +1146,35 @@ class ShaderEval:
         return V(flat.reshape(flat.shape[:-1] + (c, r)), t)
 
     def _call_user(self, name: str, e: A.Call):
-        overloads = self.fns[name]
-        fn = None
-        for cand in overloads:
-            if len(cand.params) == len(e.args):
-                fn = cand
-                break
-        if fn is None:
+        overloads = [c for c in self.fns[name] if len(c.params) == len(e.args)]
+        if not overloads:
             raise UnsupportedShaderError(f"no overload of {name} with {len(e.args)} args")
         args = [self.eval(a) for a in e.args]
+        fn = overloads[0]
+        if len(overloads) > 1:
+            # GLSL overload resolution (the GL compiler's, which the
+            # reference relies on): exact parameter-shape match wins;
+            # base-type-only differences (int vs float) are implicit
+            # conversions; a shape mismatch disqualifies the candidate
+            # (GLSL never promotes scalar->vector at a call site).
+            # pmalin-waterfalls depends on noise(float)/noise(vec3) and
+            # SmoothNoise(float)/SmoothNoise(vec3) dispatching by type.
+            best, best_score = None, -1
+            for cand in overloads:
+                score = 0
+                for p, a in zip(cand.params, args):
+                    gt = TYPE_NAMES.get(p.type.name)
+                    if gt is None or not isinstance(a, V):
+                        continue  # structs/arrays/samplers: wildcard
+                    if gt.shape == a.type.shape:
+                        score += 2 if gt.base == a.type.base else 1
+                    else:
+                        score = -1
+                        break
+                if score > best_score:
+                    best, best_score = cand, score
+            if best is not None and best_score >= 0:
+                fn = best
         frame = _Frame()
         for p, a in zip(fn.params, args):
             if isinstance(a, V):

@@ -21,9 +21,9 @@ import time
 from pathlib import Path
 
 PRESETS = [
+    # The exact `status == "timeout"` set from corpus_report_r2.json.
     "anti-aliasing/fxaa.glslp",
     "crt/metacrt.glslp",
-    "denoisers/slow-bilateral.glslp",
     "nnedi3/nnedi3-nns32-2x-rgb-nns32-4x-luma.glslp",
     "nnedi3/nnedi3-nns32-4x-rgb.glslp",
     "nnedi3/nnedi3-nns64-2x-nns32-4x-nns16-8x-rgb.glslp",
@@ -33,12 +33,13 @@ PRESETS = [
     "presets/scalefx-aa-fast.glslp",
     "presets/scalefx-aa.glslp",
     "presets/vector-glow.glslp",
+    "procedural/dakrunch-manta-ray/dakrunch-manta-ray.glslp",
     "procedural/iq-canyon/iq-canyon.glslp",
     "procedural/kali-space-race/kali-space-race.glslp",
     "procedural/kali-space-race-hd/kali-space-race.glslp",
     "procedural/nimitz-cloud-ten/nimitz-cloud-ten.glslp",
-    "scalefx/scalefx-9x.glslp",
-    "scalefx/scalefx+rAA.glslp",
+    "procedural/shane-abstract-corridor/shane-abstract-corridor.glslp",
+    "procedural/sudonhim-cloudy-voxel-world/sudonhim-cloudy-voxel-world.glslp",
 ]
 
 CODE = r"""
