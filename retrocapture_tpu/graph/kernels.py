@@ -128,7 +128,25 @@ def _mattias_kernel(ctx, sh):
 
     # phosphor values are sampled through pow(rgb, 2.2)
     p = _glsl_pow(jnp.maximum(tex[..., :3], 0.0), 2.2)
-    planes = blur5x5_groups(p, uv_u, uv_v, groups, interpret=interpret)
+    # Two lowerings of the 225-tap blur: the phase-supersampled
+    # pre-convolution (one MXU contraction at source res + ONE warped
+    # NEAREST sample per group — ~25x less per-pixel work) and the
+    # dense shared-band mask kernel. RCTPU_MATTIAS=groups|preconv
+    # forces one for A/B runs; default prefers preconv when its Qfine
+    # textures fit the warp sampler's VMEM residency.
+    from retrocapture_tpu.ops.pallas.preconv_blur import (
+        blur_preconv,
+        blur_preconv_fits,
+    )
+
+    which = os.environ.get("RCTPU_MATTIAS", "preconv")
+    use_preconv = which != "groups" and blur_preconv_fits((h, w), groups)
+    if use_preconv and interpret and which != "preconv":
+        use_preconv = False  # interpret-mode default exercises groups
+    if use_preconv:
+        planes = blur_preconv(p, uv_u, uv_v, groups, interpret=interpret)
+    else:
+        planes = blur5x5_groups(p, uv_u, uv_v, groups, interpret=interpret)
 
     posts = {0: 0.0, 1: 0.0, 2: 0.0}
     for ch, _, _, _, _, post in _MATTIAS_GROUPS:
