@@ -1430,7 +1430,30 @@ class ShaderEval:
                 return V(arr[0], v.type)
             return V(arr, v.type)
         if is_concrete(d):
-            return V(np.zeros_like(np.asarray(d)), v.type)
+            # Concrete-folded per-pixel values (plane varyings, folded
+            # coordinate math) still have real screen-space derivatives
+            # — GL evaluates them per 2x2 quad like any fragment value
+            # (crt-geom-famicom's fwidth(ratio_scale.y) after the
+            # curvature transform). Only rank-<2 concrete data (true
+            # constants/uniforms) has zero derivatives.
+            arr = np.asarray(d)
+            if arr.ndim >= 2 + (1 if v.type.shape else 0):
+
+                def np_quad(a, axis):
+                    fwd = np.roll(a, -1, axis=axis) - a
+                    bwd = a - np.roll(a, 1, axis=axis)
+                    idx = np.arange(a.shape[axis]) % 2 == 0
+                    shape = [1] * a.ndim
+                    shape[axis] = a.shape[axis]
+                    return np.where(idx.reshape(shape), fwd, bwd)
+
+                if name == "dFdx":
+                    return V(np_quad(arr, 1).astype(np.float32), v.type)
+                if name == "dFdy":
+                    return V(np_quad(arr, 0).astype(np.float32), v.type)
+                out = np.abs(np_quad(arr, 1)) + np.abs(np_quad(arr, 0))
+                return V(out.astype(np.float32), v.type)
+            return V(np.zeros_like(arr), v.type)
         if getattr(self.ctx, "factored", None) is not None:
             # Quad derivatives of traced data need the plain (H, W)
             # pixel layout.

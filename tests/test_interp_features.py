@@ -64,6 +64,25 @@ float pick(float x) { return 2.0; }
     np.testing.assert_allclose(out[0, 0, 0], 0.5, atol=1 / 255.0)
 
 
+def test_fwidth_of_concrete_folded_values():
+    # Coordinate math folds to concrete numpy at trace time (plane
+    # varyings); GL still evaluates fwidth per 2x2 quad on it —
+    # returning 0 flattened crt-geom-famicom's OVERSAMPLE filter to a
+    # degenerate scanline profile (27 dB -> 68.7 dB after the fix).
+    # fwidth(8*v) on an 8x8 grid: |dv/dy| * 8 = 8/8 = 1 everywhere.
+    out = _run_frag(
+        """
+    vec2 rs = TEX0.xy * 8.0;
+    float f = fwidth(rs.y);
+    float dx = dFdx(rs.x);
+    gl_FragColor = vec4(f * 0.5, dx * 0.5, fwidth(1.0), 1.0);
+""",
+    )
+    np.testing.assert_allclose(out[..., 0], 0.5, atol=1 / 255.0)
+    np.testing.assert_allclose(out[..., 1], 0.5, atol=1 / 255.0)
+    np.testing.assert_allclose(out[..., 2], 0.0, atol=1 / 255.0)
+
+
 def test_nested_struct_default_init():
     # An uninitialized local whose struct type nests another struct:
     # member access through the nested field must see a struct value
