@@ -1232,10 +1232,17 @@ class ShaderEval:
             ip = args[1].astype("int")
             if name == "texelFetchOffset" and len(args) >= 4:
                 ip = apply_binary("+", ip, args[3].astype("int"))
-            ix = jnp.clip(jnp.asarray(ip.data[..., 0]), 0, w - 1)
-            iy = jnp.clip(jnp.asarray(ip.data[..., 1]), 0, h - 1)
+            ix0 = jnp.asarray(ip.data[..., 0])
+            iy0 = jnp.asarray(ip.data[..., 1])
+            # Out-of-range texelFetch returns vec4(0) on the driver
+            # (probed llvmpipe 2026-08-18: all four channels, alpha
+            # included) — lcd-grid-v2 reads texel -1 at the left edge.
+            valid = (ix0 >= 0) & (ix0 < w) & (iy0 >= 0) & (iy0 < h)
+            ix = jnp.clip(ix0, 0, w - 1)
+            iy = jnp.clip(iy0, 0, h - 1)
             flat = jnp.asarray(sampler.tex).reshape(h * w, -1)
             out = jnp.take(flat, iy * w + ix, axis=0)
+            out = out * valid[..., None].astype(out.dtype)
             return V(out, GType("float", (4,)))
 
         uv = args[1].astype("float")
