@@ -502,8 +502,16 @@ def _b_pow(a: V, b: V) -> V:
             return _cw(ipow, a, result_base="float")
 
     def fn(xp, x, y):
+        # Probed llvmpipe pow edge semantics (2026-08-18): any base with
+        # |x| below the smallest normal (DAZ, including +-0 and
+        # denormals) returns 0 for EVERY exponent — pow(0,0)=0, not 1 or
+        # NaN (crt-royale's border factor pow(escape, darkness=0.0)
+        # depends on this); negative bases go NaN through log2.
         with np.errstate(divide="ignore", invalid="ignore"):
-            return xp.exp2(y * xp.log2(x))
+            out = xp.exp2(y * xp.log2(x))
+            return xp.where(
+                xp.abs(x) < np.float32(1.1754944e-38), np.float32(0.0), out
+            )
 
     return _cw(fn, a, b, result_base="float")
 
