@@ -1317,6 +1317,24 @@ class ShaderEval:
                 return V(out, GType("float", (4,)))
             bs = uv.batch_shape
             if bs == (oh, ow):
+                if not sampler.mipmap and is_concrete(uv.data):
+                    # Concrete coords carry the evaluator's exact f32
+                    # bits (stepped plane math + shader ops); the affine
+                    # reconstruction below recomputes them through f64
+                    # a0/dadx and can land 1 ulp off, flipping NEAREST
+                    # taps that sit exactly on texel boundaries
+                    # (crt-blurPi's TEX0 +- 0.5-texel offsets). Sample
+                    # from the data — sample2d's separable detection
+                    # recovers the same MXU lowering.
+                    d = np.asarray(uv.data, np.float32)
+                    out = sample2d(
+                        jnp.asarray(sampler.tex),
+                        d[..., 0],
+                        d[..., 1],
+                        filter_linear=sampler.filter_linear,
+                        wrap_mode=sampler.wrap_mode,
+                    )
+                    return V(out, GType("float", (4,)))
                 fn = sample2d_affine_mip if sampler.mipmap else sample2d_affine
                 out = fn(
                     jnp.asarray(sampler.tex),
