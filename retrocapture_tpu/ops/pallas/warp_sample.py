@@ -211,18 +211,74 @@ def warp_sample_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """tex [H, W, C] f32, u/v [HO, WO] normalized coords (traced or
-    concrete) → [HO, WO, C] samples with GL semantics."""
+    concrete) → [HO, WO, C] samples with GL semantics.
+
+    vmap-native: batching `tex` with shared u/v (the per-frame Qfine
+    textures of the mattias preconv blur) lowers to ONE Mosaic program
+    with the batch as the outermost grid dimension — the texture block
+    re-DMAs only when the batch index advances — instead of jax's
+    generic pallas batching rule."""
     h, w, c = tex.shape
     u = jnp.asarray(u, jnp.float32)
     v = jnp.asarray(v, jnp.float32)
+
+    @jax.custom_batching.custom_vmap
+    def run(tex_, u_, v_):
+        return _warp_sample_call(
+            tex_, u_, v_, filter_linear, wrap_mode, interpret, batch=None
+        )
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, tex_, u_, v_):  # noqa: ANN001
+        tex_b, u_b, v_b = in_batched
+        if tex_b and not u_b and not v_b:
+            out = _warp_sample_call(
+                tex_, u_, v_, filter_linear, wrap_mode, interpret,
+                batch=axis_size,
+            )
+            return out, True
+        out = jax.lax.map(
+            lambda args: run(
+                args[0] if tex_b else tex_,
+                args[1] if u_b else u_,
+                args[2] if v_b else v_,
+            ),
+            (
+                tex_ if tex_b else jnp.zeros((axis_size,)),
+                u_ if u_b else jnp.zeros((axis_size,)),
+                v_ if v_b else jnp.zeros((axis_size,)),
+            ),
+        )
+        return out, True
+
+    return run(tex, u, v)
+
+
+def _warp_sample_call(
+    tex, u, v, filter_linear, wrap_mode, interpret, batch
+):
+    """Build and invoke the Mosaic program. `batch=None`: tex [H, W, C]
+    → [HO, WO, C]; `batch=B`: tex [B, H, W, C] → [B, HO, WO, C]."""
+    if batch is None:
+        h, w, c = tex.shape
+    else:
+        _, h, w, c = tex.shape
     ho, wo = u.shape
 
     hp, wp = _padded_hw(h, w)
-    tex3 = jnp.transpose(tex.astype(jnp.float32), (0, 2, 1))  # [H, C, W]
-    if hp != h or wp != w:
-        # edge-pad: wrapped indices never exceed [0, n), so padded texels
-        # get zero tap weight; padding only squares up the sub-band grid.
-        tex3 = jnp.pad(tex3, ((0, hp - h), (0, 0), (0, wp - w)), mode="edge")
+    if batch is None:
+        tex3 = jnp.transpose(tex.astype(jnp.float32), (0, 2, 1))  # [H, C, W]
+        if hp != h or wp != w:
+            # edge-pad: wrapped indices never exceed [0, n), so padded
+            # texels get zero tap weight; padding only squares up the
+            # sub-band grid.
+            tex3 = jnp.pad(tex3, ((0, hp - h), (0, 0), (0, wp - w)), mode="edge")
+    else:
+        tex3 = jnp.transpose(tex.astype(jnp.float32), (0, 1, 3, 2))  # [B,H,C,W]
+        if hp != h or wp != w:
+            tex3 = jnp.pad(
+                tex3, ((0, 0), (0, hp - h), (0, 0), (0, wp - w)), mode="edge"
+            )
 
     wop = ((wo + TX - 1) // TX) * TX
     hop = ((ho + TY - 1) // TY) * TY
@@ -231,24 +287,40 @@ def warp_sample_pallas(
         v = jnp.pad(v, ((0, hop - ho), (0, wop - wo)), mode="edge")
 
     kern = _make_kernel(h, w, hp, wp, c, filter_linear, wrap_mode)
-    planes = pl.pallas_call(
-        kern,
-        out_shape=[jax.ShapeDtypeStruct((hop, wop), jnp.float32) for _ in range(c)],
-        grid=(hop // TY, wop // TX),
-        in_specs=[
-            pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    if batch is None:
+        grid = (hop // TY, wop // TX)
+        uv_spec = pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        tex_spec = pl.BlockSpec(
             # constant index: the texture is fetched into VMEM once and
             # stays resident across every grid step
-            pl.BlockSpec((hp, c, wp), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-            for _ in range(c)
-        ],
+            (hp, c, wp), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((hop, wop), jnp.float32) for _ in range(c)]
+    else:
+        grid = (batch, hop // TY, wop // TX)
+        uv_spec = pl.BlockSpec(
+            (TY, TX), lambda b, i, j: (i, j), memory_space=pltpu.VMEM
+        )
+        tex_spec = pl.BlockSpec(
+            (None, hp, c, wp), lambda b, i, j: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
+            (None, TY, TX), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((batch, hop, wop), jnp.float32) for _ in range(c)
+        ]
+    planes = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[uv_spec, uv_spec, tex_spec],
+        out_specs=[out_spec for _ in range(c)],
         interpret=interpret,
     )(u, v, tex3)
     out = jnp.stack(planes, axis=-1)
     if wop != wo or hop != ho:
-        out = out[:ho, :wo]
+        out = out[..., :ho, :wo, :]
     return out.astype(tex.dtype)
