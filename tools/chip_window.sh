@@ -7,6 +7,27 @@ cd "$(dirname "$0")/.."
 TS=$(date +%H%M)
 log() { echo "[chipwin $(date +%T)] $*" | tee -a /tmp/chipwin.log; }
 
+log "0/5 preconv smoke (does the new lowering compile on Mosaic?)"
+timeout 1800 python - > /tmp/chipwin_smoke.log 2>&1 <<'EOF'
+import numpy as np, jax
+from retrocapture_tpu.runtime.engine import Engine
+e = Engine(viewport=(256, 192))
+assert e.load_preset('/root/reference/shaders/shaders_glsl/crt/crt-mattias.glslp')
+f = (np.random.default_rng(0).random((2, 120, 160, 3)) * 255).astype(np.uint8)
+out = e.apply(f)
+jax.block_until_ready(out)
+o = np.asarray(out)
+assert np.isfinite(o).all() and o.std() > 0.01, (o.std(),)
+print("PRECONV_OK")
+EOF
+if grep -q PRECONV_OK /tmp/chipwin_smoke.log; then
+  log "preconv OK"
+else
+  log "preconv FAILED on chip - falling back to groups kernel for this window"
+  tail -3 /tmp/chipwin_smoke.log | tee -a /tmp/chipwin.log
+  export RCTPU_MATTIAS=groups
+fi
+
 log "1/5 mattias parts (preconv default)"
 timeout 2400 python tools/profile_chain.py mattias-parts > /tmp/chipwin_mattias_parts.log 2>&1
 tail -5 /tmp/chipwin_mattias_parts.log | tee -a /tmp/chipwin.log
