@@ -55,6 +55,22 @@ def _take_axis(arr, idx: np.ndarray, axis: int):
     m = idx.shape[0]
     n = arr.shape[axis]
     pat = _rational_pattern(idx, max_den=24) if m >= 2 else None
+    if pat is None and m >= 8:
+        # Clamped-affine rescue: tap maps are typically
+        # clip(affine, 0, n-1) — an identity progression plus a constant
+        # tap offset that clamps at the texture edges, which breaks the
+        # global fit. Fit the interior, extrapolate, and when the full
+        # map is exactly the clip of the extrapolation, edge-pad the
+        # array (the clamp IS edge padding) and slice with the pure
+        # pattern.
+        q0, q1 = m // 4, 3 * m // 4
+        ipat = _rational_pattern(idx[q0:q1], max_den=24)
+        if ipat is not None and not ipat[3].any():
+            a, b, c = ipat[0], ipat[1], ipat[2] - ipat[0] * q0
+            j = np.arange(m, dtype=np.int64)
+            ext = (a * j + c) // b
+            if np.array_equal(idx, np.clip(ext, 0, n - 1)):
+                pat = (a, b, c, np.zeros(m, np.int64))
     if pat is None:
         return jnp.take(arr, jnp.asarray(idx), axis=axis)
     a, b, c, delta = pat
@@ -66,6 +82,14 @@ def _take_axis(arr, idx: np.ndarray, axis: int):
     pad_lo = max(0, -lo)
     pad_hi = max(0, int(idx.max()) - (n - 1), max_read - (n - 1))
     if pad_lo or pad_hi:
+        # Quantize pad widths to 128 (both sides) so every tap of a
+        # multi-tap pass pads to the SAME shape and XLA CSEs one padded
+        # tensor: the ntsc FIR's 65 taps each padded by their own 1..35
+        # texels — 65 distinct ~315 MB edge-pads, ~40 GB of HBM traffic
+        # per batch (measured 2.0 ms/frame; 10x the rest of the pass).
+        q = 128
+        both = ((max(pad_lo, pad_hi) + q - 1) // q) * q
+        pad_lo = pad_hi = both
         widths = [(0, 0)] * arr.ndim
         widths[axis] = (pad_lo, pad_hi)
         arr = jnp.pad(arr, widths, mode="edge")
@@ -81,12 +105,25 @@ def _take_axis(arr, idx: np.ndarray, axis: int):
     return jnp.where(mk, t1, t0)
 
 
-def _axis_runs(n_out: int, n_src: int):
+def _axis_runs(n_out: int, n_src: int, other: int, axis: str):
     """Runs of output pixels sharing a source texel for the identity
-    map, measured with the samplers' own float32 math
-    (ops/sampling._axis_matrix): u = (X + 0.5)/n_out, idx = floor(u*n)."""
+    TexCoord map, measured with the SAME float32 coordinate math the
+    evaluator's plane-exact varyings produce (engine._plane_setup_f32 +
+    _plane_component): the idealized (X + 0.5)/n_out form differs from
+    the rasterizer planes by ulps, and a floor flip at a run boundary
+    made every tap of the ntsc FIR fail run-constancy — 65 taps
+    materialized at full factored volume (an HBM OOM at batch 32)."""
+    from retrocapture_tpu.runtime.engine import _plane_setup_f32
+
+    ow, oh = (n_out, other) if axis == "x" else (other, n_out)
+    if axis == "x":
+        a0, dadx, _ = _plane_setup_f32(ow, oh, 1.0, 1.0, 0.0)
+        slope = dadx
+    else:
+        a0, _, dady = _plane_setup_f32(ow, oh, 0.0, 1.0, 1.0)
+        slope = dady
     u = (
-        (np.arange(n_out, dtype=np.float64) + 0.5) / np.float64(n_out)
+        np.float64(slope) * np.arange(n_out, dtype=np.float64) + np.float64(a0)
     ).astype(np.float32)
     idx = np.floor(u * np.float32(n_src)).astype(np.int64)
     change = np.flatnonzero(np.diff(idx)) + 1
@@ -166,14 +203,22 @@ class Factorization:
     # -- factored gathers ------------------------------------------------
     def take_full(self, tex, iyw: np.ndarray, ixw: np.ndarray):
         """Materialize a tap at full factored resolution from wrapped
-        per-output index maps ([OH], [OW] np arrays): [ry,rx,my,mx,C]."""
-        ygrid = iyw[self.yidx.T.reshape(-1)]  # [ry*my]
-        xgrid = ixw[self.xidx.T.reshape(-1)]  # [rx*mx]
-        rows = _take_axis(tex, ygrid, 0)
-        out = _take_axis(rows, xgrid, 1)
-        c = tex.shape[-1]
-        out = out.reshape(self.ry, self.my, self.rx, self.mx, c)
-        return jnp.transpose(out, (0, 2, 1, 3, 4))
+        per-output index maps ([OH], [OW] np arrays): [ry,rx,my,mx,C].
+
+        Decomposed PER PHASE: the flat [ry*my] composed map restarts its
+        progression at every phase boundary, so no single rational
+        pattern fits it and _take_axis degraded to full jnp.take gathers
+        (measured: 16.4 GB of gather temporaries for the ntsc chain at
+        batch 32 — an HBM OOM). Each phase's map iyw[starts + r] is a
+        clean (clamped-)affine progression over [my] that slices."""
+        rows = jnp.stack(
+            [_take_axis(tex, iyw[self.yidx[:, r]], 0) for r in range(self.ry)],
+            axis=0,
+        )  # [ry, my, W, C]
+        return jnp.stack(
+            [_take_axis(rows, ixw[self.xidx[:, s]], 2) for s in range(self.rx)],
+            axis=1,
+        )  # [ry, rx, my, mx, C]
 
     def take_runs(self, tex, iy_runs: np.ndarray, ix_runs: np.ndarray):
         """Source-resolution tap from per-run wrapped indices:
@@ -329,8 +374,8 @@ def plan_factorization(
         return None
     if oh < 2 or ow < 2 or in_h < 1 or in_w < 1:
         return None
-    ys, yl = _axis_runs(oh, max(in_h, 1))
-    xs, xl = _axis_runs(ow, max(in_w, 1))
+    ys, yl = _axis_runs(oh, max(in_h, 1), ow, "y")
+    xs, xl = _axis_runs(ow, max(in_w, 1), oh, "x")
     f = Factorization(oh, ow, ys, yl, xs, xl)
     if f.ry < 2 and f.rx < 2:
         return None

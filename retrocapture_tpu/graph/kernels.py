@@ -139,7 +139,11 @@ def _mattias_kernel(ctx, sh):
         blur_preconv_fits,
     )
 
-    which = os.environ.get("RCTPU_MATTIAS", "preconv")
+    # Default groups: on-chip A/B (2026-08-18) measured the preconv
+    # reformulation at 125 ms/frame vs 10.1 ms for the shared-band
+    # groups kernel — the per-tile band walk over the 6x-supersampled
+    # Qfine textures dominates; preconv stays for A/B via RCTPU_MATTIAS.
+    which = os.environ.get("RCTPU_MATTIAS", "groups")
     use_preconv = which != "groups" and blur_preconv_fits((h, w), groups)
     if use_preconv and interpret and which != "preconv":
         use_preconv = False  # interpret-mode default exercises groups

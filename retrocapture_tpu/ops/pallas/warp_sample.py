@@ -312,6 +312,13 @@ def _warp_sample_call(
         out_shape = [
             jax.ShapeDtypeStruct((batch, hop, wop), jnp.float32) for _ in range(c)
         ]
+    # The resident texture block can reach ~12 MB (mattias Qfine
+    # pre-convolutions); with Mosaic's block double-buffering across the
+    # batch grid dimension that exceeds the default 16 MB scoped-VMEM
+    # budget, so raise the limit explicitly (v5e VMEM is 128 MB).
+    tex_bytes = hp * wp * c * 4
+    limit = min(2 * tex_bytes + 8 * 2**20, 100 * 2**20)
+    params = pltpu.CompilerParams(vmem_limit_bytes=max(limit, 32 * 2**20))
     planes = pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -319,6 +326,7 @@ def _warp_sample_call(
         in_specs=[uv_spec, uv_spec, tex_spec],
         out_specs=[out_spec for _ in range(c)],
         interpret=interpret,
+        compiler_params=params,
     )(u, v, tex3)
     out = jnp.stack(planes, axis=-1)
     if wop != wo or hop != ho:

@@ -573,12 +573,40 @@ def sample2d_affine(
     out = _separable_slices(tex, u_row, v_col, filter_linear, wrap_mode)
     if out is not None:
         return out.astype(tex.dtype)
-    ax = _axis_matrix_device(u_row, w, filter_linear, wrap_mode)
-    ay = _axis_matrix_device(v_col, h, filter_linear, wrap_mode)
-    th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH)
-    return jnp.einsum(
-        "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH
-    ).astype(tex.dtype)
+    # Identity axes skip their matmul entirely: a same-size LINEAR blit
+    # axis has exact weights {1, 0} on the diagonal, and the dense
+    # [n, n] einsum it would build is pure waste (the ntsc final blit
+    # paid a 1080x1080 y-matmul — 8.9 GFLOP/frame of multiply-by-one).
+    out = tex
+    if not _axis_is_identity(v_col, h, filter_linear, wrap_mode):
+        ay = _axis_matrix_device(v_col, h, filter_linear, wrap_mode)
+        out = jnp.einsum(
+            "hs,swc->hwc", ay, out,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH,
+        )
+    if not _axis_is_identity(u_row, w, filter_linear, wrap_mode):
+        ax = _axis_matrix_device(u_row, w, filter_linear, wrap_mode)
+        out = jnp.einsum(
+            "ws,hsc->hwc", ax, out,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGH,
+        )
+    return out.astype(tex.dtype)
+
+
+def _axis_is_identity(coord_f32: np.ndarray, n: int, filter_linear: bool, wrap: str) -> bool:
+    """True when this axis's resampling matrix would be the exact [n, n]
+    identity (same size, texel-centered coords): NEAREST hits texel j
+    with weight 1, LINEAR's lerp fraction is exactly 0 on texel centers.
+    Mirrors _axis_matrix's float32 index math bit-for-bit."""
+    m = coord_f32.shape[0]
+    if m != n or wrap == "clamp_to_border":
+        return False
+    if filter_linear:
+        x = coord_f32 * np.float32(n) - np.float32(0.5)
+        x0 = np.floor(x)
+        return bool(np.all(x == x0) and np.array_equal(x0, np.arange(n)))
+    idx = np.floor(coord_f32 * np.float32(n))
+    return bool(np.array_equal(idx, np.arange(n)))
 
 
 def _axis_matrix_traced(coord, n: int, filter_linear: bool, wrap: str):

@@ -635,15 +635,12 @@ class Engine:
                 return outs_b
             if not needs_blit:
                 return jnp.round(jnp.clip(outs_b, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-            from retrocapture_tpu.ops.pallas.resample import resample_u8
-            from retrocapture_tpu.ops.sampling import _axis_matrix_device
+            # Fused Pallas blit + quantize: identity axes skip their
+            # matmul, the dots run at native f32 MXU precision, and only
+            # final uint8 planes reach HBM (ops/pallas/resample.blit_u8).
+            from retrocapture_tpu.ops.pallas.resample import blit_u8
 
-            sh, sw = outs_b.shape[1], outs_b.shape[2]
-            u_row = ((np.arange(vw) + 0.5) / vw).astype(np.float32)
-            v_col = ((np.arange(vh) + 0.5) / vh).astype(np.float32)
-            ax = _axis_matrix_device(u_row, sw, True, "clamp_to_edge")
-            ay = _axis_matrix_device(v_col, sh, True, "clamp_to_edge")
-            return jax.vmap(lambda t: resample_u8(t, ay, ax))(outs_b)
+            return jax.vmap(lambda t: blit_u8(t, vw, vh))(outs_b)
 
         def single(
             src, history, feedback, frame_count, time, pvals=None, blit=True,

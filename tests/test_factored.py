@@ -53,7 +53,7 @@ def test_plan_factorization_geometry():
     # Full 2-D upscales exceed the phase-volume budget by policy.
     assert plan_factorization(1080, 1920, 240, 320) is None
     f = Factorization(
-        1080, 1920, *_axis_runs(1080, 240), *_axis_runs(1920, 320)
+        1080, 1920, *_axis_runs(1080, 240, 1920, "y"), *_axis_runs(1920, 320, 1080, "x")
     )
     assert f.my == 240 and f.mx == 320
     assert f.ry == 5 and f.rx == 6  # 4.5x runs pad to 5; 6x exact
@@ -89,7 +89,7 @@ def test_factored_affine_tap_nearest_exact():
     rng = np.random.default_rng(3)
     h, w, oh, ow = 96, 128, 384, 512
     texn = rng.random((h, w, 4)).astype(np.float32)
-    fac = Factorization(oh, ow, *_axis_runs(oh, h), *_axis_runs(ow, w))
+    fac = Factorization(oh, ow, *_axis_runs(oh, h, ow, "y"), *_axis_runs(ow, w, oh, "x"))
 
     class Samp:
         tex = jnp.asarray(texn)
@@ -130,7 +130,7 @@ def test_factored_affine_tap_linear_matches_matrix():
     rng = np.random.default_rng(4)
     h, w, oh, ow = 96, 128, 384, 512
     texn = rng.random((h, w, 4)).astype(np.float32)
-    fac = Factorization(oh, ow, *_axis_runs(oh, h), *_axis_runs(ow, w))
+    fac = Factorization(oh, ow, *_axis_runs(oh, h, ow, "y"), *_axis_runs(ow, w, oh, "x"))
 
     class Samp:
         tex = jnp.asarray(texn)
