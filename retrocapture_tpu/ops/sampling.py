@@ -448,51 +448,181 @@ def _axis_slice_plan(coord_f32: np.ndarray, n: int, filter_linear: bool, wrap: s
     return taps, pad_lo, pad_hi
 
 
+def _axis_block_plan(
+    coord_f32: np.ndarray, n: int, filter_linear: bool, wrap: str, max_den: int = 24
+):
+    """Block-periodic axis plan for rational-ratio progressions (texel
+    index advances a/b per output with b > 1 — every non-integer upscale,
+    e.g. 240->1080 is 2/9 per output). The output axis reshapes into
+    (blocks, b phases); each block's taps live in a window of t<=8
+    consecutive strided slices of the source, combined per-phase with
+    tiny concrete weights as pure elementwise ops — so XLA fuses the tap
+    straight into the consuming fragment math. The dense [m, n]
+    resampling matmul this replaces pays m*n MACs per channel (a
+    240p->1080p NEAREST tap = ~6 GFLOP; xbr-lv2's 21 taps = ~125 GFLOP
+    of multiply-by-zero per frame); this form pays m*t FMAs and fuses.
+
+    Index/weight math mirrors _axis_matrix bit-for-bit. Returns
+    (a, D, sel, W, pad_lo, pad_hi, mq, b, m) or None."""
+    m = coord_f32.shape[0]
+    if m < 4:
+        return None
+    if not filter_linear:
+        idx = np.floor(coord_f32 * np.float32(n)).astype(np.int64)
+        taps = [(idx, None)]
+        base = idx
+    else:
+        x = coord_f32 * np.float32(n) - np.float32(0.5)
+        x0 = np.floor(x).astype(np.int64)
+        fx = (x - x0).astype(np.float32)
+        taps = [(x0, np.float32(1.0) - fx), (x0 + 1, fx)]
+        base = x0
+    pat = _rational_pattern(base, max_den=max_den)
+    if pat is None or pat[1] == 1:
+        return None  # b == 1 is the (cheaper still) pure-slice path
+    a, b, _, _ = pat
+    mq = (m + b - 1) // b
+    blk = np.arange(m, dtype=np.int64) // b
+
+    def pad_tail(arr):
+        if mq * b == m:
+            return arr
+        return np.concatenate([arr, np.repeat(arr[-1:], mq * b - m, axis=0)])
+
+    offs = [pad_tail(ix - a * blk) for ix, _ in taps]
+    D = np.unique(np.concatenate(offs))
+    t = D.shape[0]
+    if t > 8:
+        return None
+    pad_lo = max(0, -int(D.min()))
+    pad_hi = max(0, int(a * (mq - 1) + D.max()) - (n - 1))
+    if pad_lo > 2 * n + 64 or pad_hi > 2 * n + 64:
+        return None
+    if not filter_linear:
+        sel = np.searchsorted(D, offs[0]).reshape(mq, b)
+        return (a, D, sel, None, pad_lo, pad_hi, mq, b, m)
+    W = np.zeros((mq * b, t), np.float32)
+    rows = np.arange(mq * b)
+    for (ix, wv), off in zip(taps, offs):
+        np.add.at(W, (rows, np.searchsorted(D, off)), pad_tail(wv))
+    return (a, D, None, W.reshape(mq, b, t), pad_lo, pad_hi, mq, b, m)
+
+
+def _axis_block_take(src, plan, axis: int, wrap: str):
+    """Apply a _axis_block_plan along ``axis``: t strided window slices,
+    per-phase where-select (NEAREST) or FMA (LINEAR), reshape (blocks,
+    phases) back into the output axis. All elementwise — fuses."""
+    a, D, sel, W, pad_lo, pad_hi, mq, b, m = plan
+    nd = src.ndim
+    if pad_lo or pad_hi:
+        widths = [(0, 0)] * nd
+        widths[axis] = (pad_lo, pad_hi)
+        src = jnp.pad(src, widths, mode=_PAD_MODE[wrap])
+    parts = []
+    for d in D:
+        start = [0] * nd
+        limit = list(src.shape)
+        stride = [1] * nd
+        s0 = pad_lo + int(d)
+        start[axis] = s0
+        limit[axis] = s0 + a * (mq - 1) + 1
+        stride[axis] = a
+        parts.append(jnp.expand_dims(jax.lax.slice(src, start, limit, stride), axis + 1))
+
+    def bcast(arr2d):
+        shape = [1] * (nd + 1)
+        shape[axis] = mq
+        shape[axis + 1] = b
+        return jnp.asarray(arr2d).reshape(shape)
+
+    if sel is not None:  # NEAREST: select, never 0*NaN-hazardous weighting
+        out = parts[0]
+        for i in range(1, len(parts)):
+            out = jnp.where(bcast(sel == i), parts[i], out)
+        target = list(out.shape)
+        target[axis + 1] = b
+        out = jnp.broadcast_to(out, target)
+    else:
+        out = None
+        for i in range(len(parts)):
+            term = parts[i] * bcast(W[:, :, i])
+            out = term if out is None else out + term
+    shape = list(out.shape)
+    merged = shape[:axis] + [mq * b] + shape[axis + 2 :]
+    out = out.reshape(merged)
+    if mq * b != m:
+        out = jax.lax.slice_in_dim(out, 0, m, axis=axis)
+    return out
+
+
 def _separable_slices(tex, u_row: np.ndarray, v_col: np.ndarray, filter_linear: bool, wrap_mode: str):
     """Separable sample via phase-interleaved strided slices + 1D weight
     FMAs — the MXU-free lowering for affine taps with rational texel
     progressions (NEAREST and LINEAR). Exact float32 (no bf16 matmul
-    rounding). Returns [oh, ow, C] or None when not applicable."""
+    rounding). Integer-stride axes take pure slices; rational-ratio axes
+    (b > 1) take the block-periodic elementwise form (_axis_block_plan).
+    Returns [oh, ow, C] or None when not applicable."""
     h, w, _ = tex.shape
     xplan = _axis_slice_plan(u_row, w, filter_linear, wrap_mode)
+    xblock = None
     if xplan is None:
-        return None
+        xblock = _axis_block_plan(u_row, w, filter_linear, wrap_mode)
+        if xblock is None:
+            return None
     yplan = _axis_slice_plan(v_col, h, filter_linear, wrap_mode)
+    yblock = None
     if yplan is None:
-        return None
+        yblock = _axis_block_plan(v_col, h, filter_linear, wrap_mode)
+        if yblock is None:
+            return None
     ow, oh = u_row.shape[0], v_col.shape[0]
+    if xblock is not None or yblock is not None:
+        # Per-axis padding: axis takes commute with pads on the other
+        # axis (pads copy whole rows/columns), so sequential per-axis
+        # handling is exact.
+        def one_axis(src, plan, block, m, axis):
+            if block is not None:
+                return _axis_block_take(src, block, axis, wrap_mode)
+            taps, lo, hi = plan
+            if lo or hi:
+                widths = [(0, 0), (0, 0), (0, 0)]
+                widths[axis] = (lo, hi)
+                src = jnp.pad(src, widths, mode=_PAD_MODE[wrap_mode])
+            return _slice_axis_take(src, taps, lo, m, axis, filter_linear)
+
+        rows = one_axis(tex, yplan, yblock, oh, 0)
+        return one_axis(rows, xplan, xblock, ow, 1)
     xtaps, xlo, xhi = xplan
     ytaps, ylo, yhi = yplan
     if any((xlo, xhi, ylo, yhi)):
         mode = _PAD_MODE[wrap_mode]
         tex = jnp.pad(tex, ((ylo, yhi), (xlo, xhi), (0, 0)), mode=mode)
-    def axis_take(src, taps, pad, m, axis):
-        # NEAREST delta pair: a pure row select (0/1 complementary
-        # masks) — where-select rather than 0*NaN-hazardous weighting.
-        if (
-            not filter_linear
-            and len(taps) == 2
-            and taps[0][1] is not None
-        ):
-            (p0, w0), (p1, _) = taps
-            t0 = _phase_sliced_take(src, (p0[0], p0[1], p0[2] + p0[1] * pad), m, axis)
-            t1 = _phase_sliced_take(src, (p1[0], p1[1], p1[2] + p1[1] * pad), m, axis)
+    rows = _slice_axis_take(tex, ytaps, ylo, oh, 0, filter_linear)
+    return _slice_axis_take(rows, xtaps, xlo, ow, 1, filter_linear)
+
+
+def _slice_axis_take(src, taps, pad, m, axis, filter_linear):
+    """Apply a _axis_slice_plan tap list along ``axis`` (src already
+    padded by ``pad`` on the low side)."""
+    # NEAREST delta pair: a pure row select (0/1 complementary
+    # masks) — where-select rather than 0*NaN-hazardous weighting.
+    if not filter_linear and len(taps) == 2 and taps[0][1] is not None:
+        (p0, w0), (p1, _) = taps
+        t0 = _phase_sliced_take(src, (p0[0], p0[1], p0[2] + p0[1] * pad), m, axis)
+        t1 = _phase_sliced_take(src, (p1[0], p1[1], p1[2] + p1[1] * pad), m, axis)
+        shape = [1, 1, 1]
+        shape[axis] = m
+        mk = jnp.asarray(w0 == 1.0).reshape(shape)
+        return jnp.where(mk, t0, t1)
+    acc = None
+    for (a, b, c), wv in taps:
+        t = _phase_sliced_take(src, (a, b, c + b * pad), m, axis)
+        if wv is not None:
             shape = [1, 1, 1]
             shape[axis] = m
-            mk = jnp.asarray(w0 == 1.0).reshape(shape)
-            return jnp.where(mk, t0, t1)
-        acc = None
-        for (a, b, c), wv in taps:
-            t = _phase_sliced_take(src, (a, b, c + b * pad), m, axis)
-            if wv is not None:
-                shape = [1, 1, 1]
-                shape[axis] = m
-                t = t * jnp.asarray(wv).reshape(shape)
-            acc = t if acc is None else acc + t
-        return acc
-
-    rows = axis_take(tex, ytaps, ylo, oh, 0)
-    return axis_take(rows, xtaps, xlo, ow, 1)
+            t = t * jnp.asarray(wv).reshape(shape)
+        acc = t if acc is None else acc + t
+    return acc
 
 
 def _nearest_stride_slice(tex, u_row, v_col, wrap_mode: str):

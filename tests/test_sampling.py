@@ -243,3 +243,67 @@ def test_banded_exact_on_violent_warps():
             np.testing.assert_allclose(
                 got, want, atol=3e-6, err_msg=f"{wrap} lin={lin}"
             )
+
+
+@pytest.mark.parametrize("wrap", WRAP_MODES)
+@pytest.mark.parametrize("linear", [False, True])
+def test_block_periodic_axis_matches_matrix(wrap, linear):
+    """Rational-ratio (b > 1) axis resamples lower to the block-periodic
+    elementwise form (xbr-lv2's 21 NEAREST taps to 1080p each paid a
+    dense [1080,240]+[1920,320] matmul — ~125 GFLOP/frame of
+    multiply-by-zero). NEAREST selection must be bit-identical to the
+    one-hot matmul; LINEAR may differ by 1 ulp (mul+add vs the einsum's
+    fused accumulate)."""
+    import jax.numpy as jnp
+
+    from retrocapture_tpu.ops.sampling import (
+        _axis_block_plan,
+        _axis_block_take,
+        _axis_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    for n_src, n_out in [(240, 1080), (320, 1920), (240, 560), (7, 33)]:
+        for off_t in (-2.0, 0.0, 1.0, 2.5):
+            tex = rng.random((n_src, 13, 4)).astype(np.float32)
+            coord = (
+                (np.arange(n_out, dtype=np.float64) + 0.5) / n_out
+            ).astype(np.float32) + np.float32(off_t / n_src)
+            plan = _axis_block_plan(coord, n_src, linear, wrap)
+            assert plan is not None, (n_src, n_out, wrap, linear, off_t)
+            got = np.asarray(_axis_block_take(jnp.asarray(tex), plan, 0, wrap))
+            a = _axis_matrix(coord, n_src, linear, wrap)
+            want = np.einsum("ms,swc->mwc", a, tex).astype(np.float32)
+            if linear:
+                np.testing.assert_allclose(
+                    got, want, atol=1.2e-7, err_msg=f"{wrap} {n_src}->{n_out}"
+                )
+            else:
+                assert np.array_equal(got, want), (n_src, n_out, wrap, off_t)
+
+
+def test_block_periodic_axis1_and_ragged_tail():
+    """x-axis block take, plus an output length that is not a multiple of
+    the phase count (ragged tail padding must slice back exactly)."""
+    import jax.numpy as jnp
+
+    from retrocapture_tpu.ops.sampling import (
+        _axis_block_plan,
+        _axis_block_take,
+        _axis_matrix,
+    )
+
+    rng = np.random.default_rng(3)
+    tex = rng.random((9, 320, 4)).astype(np.float32)
+    for n_out in (1915, 1920, 1921):
+        coord = ((np.arange(n_out, dtype=np.float64) + 0.5) / n_out).astype(
+            np.float32
+        ) - np.float32(1.0 / 320)
+        plan = _axis_block_plan(coord, 320, False, "clamp_to_edge")
+        assert plan is not None, n_out
+        got = np.asarray(
+            _axis_block_take(jnp.asarray(tex), plan, 1, "clamp_to_edge")
+        )
+        a = _axis_matrix(coord, 320, False, "clamp_to_edge")
+        want = np.einsum("ms,hsc->hmc", a, tex).astype(np.float32)
+        assert np.array_equal(got, want), n_out
