@@ -60,6 +60,20 @@ from retrocapture_tpu.frontend.values import (
 __all__ = ["ShaderEval", "PassContextProtocol", "UnsupportedShaderError"]
 
 MAX_UNROLL = 512
+# Counted loops at or past this trip count are rolled into a single
+# lax.fori_loop (after a short eager probe) instead of unrolled: a
+# 256-step raymarch inlined twice per pixel explodes XLA compile time,
+# while the rolled form traces the body once. Kept above the corpus's
+# convolution-loop sizes (<= 33 taps), where unrolling with concrete
+# coordinates is strictly better.
+ROLL_MIN_TRIPS = 40
+_ROLL_MAX_TRIPS = 65536
+_PROBE_MAX = 4
+
+
+class _RollAbort(Exception):
+    """Rolling a counted loop into lax.fori_loop failed; the caller falls
+    back to eager unrolling (trace-time control flow, never a user error)."""
 
 
 class UnsupportedShaderError(GlslEvalError):
@@ -548,30 +562,20 @@ class ShaderEval:
         if trips is not None:
             if s.init is not None:
                 self.exec_stmt(s.init)
-            lp = _LoopCtx()
-            self.loop_stack.append(lp)
-            outer = self.mask
-            try:
-                for _ in range(trips):
-                    lp.continue_mask = None
-                    try:
-                        self.mask = self._prune_mask(outer)
-                        self.exec_stmt(s.body)
-                    except _ContinueSignal:
-                        pass
-                    except _BreakSignal:
-                        break
-                    if s.step is not None:
-                        saved = self.mask
-                        self.mask = None
-                        self.eval(s.step)
-                        self.mask = saved
-            finally:
-                self.loop_stack.pop()
-                self.mask = outer
+            self._run_counted_loop(s, trips)
             return
         if s.init is not None:
             self.exec_stmt(s.init)
+        # Concrete simple-induction loops (`for (int i=0; i<256; i++)`)
+        # get an exact trip count by simulating the induction in its own
+        # dtype — which unlocks rolling large loops into lax.fori_loop
+        # instead of unrolling (the reference's GL compiler rolls them in
+        # hardware; a 256-step raymarch unrolled 2-deep explodes XLA
+        # compile time past any budget).
+        trips = self._concrete_trip_count(s)
+        if trips is not None:
+            self._run_counted_loop(s, trips)
+            return
         # A step that only touches a simple induction variable updates it
         # UNMASKED: masked-off pixels advancing their counter is harmless
         # (their body writes are masked), and it keeps the counter — and
@@ -580,6 +584,370 @@ class ShaderEval:
         # on real GPUs: everyone iterates, effects are predicated.
         step_uniform = _is_simple_induction_step(s.step)
         self._exec_loop(None, s.cond, s.step, s.body, step_uniform=step_uniform)
+
+    # -- counted loops: eager unroll or lax.fori_loop roll ---------------
+    def _concrete_trip_count(self, s: A.For) -> Optional[int]:
+        """Exact trip count of a simple-induction for-loop whose start,
+        bound, and step are concrete scalars, found by simulating the
+        induction in its own dtype (bit-faithful to what the eager loop
+        would evaluate, including f32 accumulation drift). Runs AFTER the
+        init statement has executed. None when the pattern doesn't hold."""
+        step = s.step
+        vname = cval = None
+        if (
+            isinstance(step, (A.PrefixIncDec, A.PostfixIncDec))
+            and isinstance(step.operand, A.Ident)
+        ):
+            vname = step.operand.name
+            cval = 1 if step.op == "++" else -1
+        elif isinstance(step, A.Assign) and isinstance(step.target, A.Ident):
+            vname = step.target.name
+            if step.op in ("+=", "-=") and isinstance(step.value, A.Num):
+                cval = step.value.value if step.op == "+=" else -step.value.value
+            elif (
+                step.op == "="
+                and isinstance(step.value, A.Binary)
+                and step.value.op in ("+", "-")
+                and isinstance(step.value.left, A.Ident)
+                and step.value.left.name == vname
+                and isinstance(step.value.right, A.Num)
+            ):
+                cval = (
+                    step.value.right.value
+                    if step.value.op == "+"
+                    else -step.value.right.value
+                )
+        if vname is None or cval is None or cval == 0:
+            return None
+        cond = s.cond
+        if not (isinstance(cond, A.Binary) and cond.op in ("<", "<=", ">", ">=")):
+            return None
+        op = cond.op
+        if isinstance(cond.left, A.Ident) and cond.left.name == vname:
+            rhs = cond.right
+        elif isinstance(cond.right, A.Ident) and cond.right.name == vname:
+            rhs = cond.left
+            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[op]
+        else:
+            return None
+        # The induction var and every name the bound reads must be
+        # loop-invariant; _BodyScan also catches writes through out/inout
+        # parameters of called functions, which _writes_var cannot see.
+        scan = _BodyScan(self.fns).scan(s.body, None)
+        if not scan.ok or vname in scan.writes or _mentions_var(rhs, vname):
+            return None
+        if any(ident in scan.writes for ident in _expr_idents(rhs)):
+            return None
+        cur = self._lookup(vname)
+        if not (
+            isinstance(cur, V)
+            and cur.type.is_scalar
+            and is_concrete(cur.data)
+            and np.ndim(cur.data) == 0
+        ):
+            return None
+        try:
+            bound_v = self.eval(rhs)
+        except GlslEvalError:
+            return None
+        if not (
+            isinstance(bound_v, V)
+            and is_concrete(bound_v.data)
+            and np.ndim(bound_v.data) == 0
+        ):
+            return None
+        # Simulate with the eager path's arithmetic: int induction is
+        # exact; float induction must accumulate in float32.
+        if cur.type.base in ("int", "uint"):
+            if not float(cval).is_integer():
+                return None
+            v = np.int64(cur.data)
+            c = np.int64(cval)
+            lim = float(bound_v.data)
+            cmp = {"<": lambda a: a < lim, "<=": lambda a: a <= lim,
+                   ">": lambda a: a > lim, ">=": lambda a: a >= lim}[op]
+            n = 0
+            while n <= _ROLL_MAX_TRIPS and cmp(v):
+                n += 1
+                v = v + c
+        else:
+            v = np.float32(cur.data)
+            c = np.float32(cval)
+            lim = np.float32(bound_v.data)
+            cmp = {"<": lambda a: a < lim, "<=": lambda a: a <= lim,
+                   ">": lambda a: a > lim, ">=": lambda a: a >= lim}[op]
+            n = 0
+            while n <= _ROLL_MAX_TRIPS and cmp(v):
+                n += 1
+                v = np.float32(v + c)
+        if n > _ROLL_MAX_TRIPS:
+            return None
+        return n
+
+    def _one_counted_iteration(self, s: A.For, lp: "_LoopCtx", outer):
+        """One body+step of a counted for-loop (step unmasked: counted
+        loops have simple induction steps). Returns 'break' on a concrete
+        break."""
+        lp.continue_mask = None
+        try:
+            self.mask = self._prune_mask(outer)
+            self.exec_stmt(s.body)
+        except _ContinueSignal:
+            pass
+        except _BreakSignal:
+            return "break"
+        if s.step is not None:
+            saved = self.mask
+            self.mask = None
+            self.eval(s.step)
+            self.mask = saved
+        return None
+
+    def _run_counted_loop(self, s: A.For, trips: int) -> None:
+        lp = _LoopCtx()
+        self.loop_stack.append(lp)
+        outer = self.mask
+        try:
+            done = 0
+            if trips >= ROLL_MIN_TRIPS:
+                scan = _BodyScan(self.fns).scan(s.body, s.step)
+                if scan.ok and not scan.has_return:
+                    done, finished = self._roll_counted(s, trips, lp, outer, scan)
+                    if finished:
+                        return
+            if trips - done > MAX_UNROLL:
+                raise UnsupportedShaderError(
+                    f"loop of {trips} iterations could not be rolled"
+                )
+            for _ in range(trips - done):
+                if self._one_counted_iteration(s, lp, outer) == "break":
+                    break
+        finally:
+            self.loop_stack.pop()
+            self.mask = outer
+
+    def _roll_counted(self, s, trips, lp, outer, scan) -> tuple[int, bool]:
+        """Probe a few iterations eagerly until the loop-carried state's
+        structure stabilizes, then run the remaining iterations inside ONE
+        lax.fori_loop whose carry is exactly the body's write-set (plus
+        break/discard masks). Returns (iterations consumed, loop finished).
+        Any failure falls back to eager unrolling with state intact — the
+        probe iterations ARE the eager path, and a failed fori trace is
+        undone by restoring the env snapshot."""
+        fr = self.frames[-1]
+        prev_spec = None
+        probed = 0
+        names = specs = None
+        while probed < _PROBE_MAX:
+            if self._one_counted_iteration(s, lp, outer) == "break":
+                return probed + 1, True
+            probed += 1
+            try:
+                names, locs, specs, leaves = self._carry_snapshot(scan, fr)
+            except _RollAbort:
+                return probed, False
+            spec_key = (tuple(names), tuple(locs), specs)
+            if prev_spec is not None and spec_key == prev_spec:
+                break
+            prev_spec = spec_key
+        else:
+            return probed, False
+        remaining = trips - probed
+        if remaining <= 0:
+            return probed, False
+        # Pre-materialize mask slots so the carry structure is invariant.
+        bs = None
+        if lp.break_mask is not None and not isinstance(lp.break_mask, bool):
+            bs = np.shape(lp.break_mask)
+        elif outer is not None and not isinstance(outer, bool):
+            bs = np.shape(outer)
+        else:
+            w, h = self.ctx.out_size
+            bs = (h, w)
+        carry = list(leaves)
+        break_slot = disc_slot = None
+        if scan.has_break or lp.break_mask is not None:
+            break_slot = len(carry)
+            carry.append(
+                jnp.zeros(bs, jnp.bool_)
+                if lp.break_mask is None
+                else jnp.asarray(lp.break_mask)
+            )
+        if scan.has_discard or self.discard_mask is not None:
+            if self.discard_mask is True:
+                return probed, False
+            disc_slot = len(carry)
+            carry.append(
+                jnp.zeros(bs, jnp.bool_)
+                if self.discard_mask is None
+                else jnp.asarray(self.discard_mask)
+            )
+        snap_locals = dict(fr.locals)
+        snap_globals = dict(self.globals)
+        snap_break = lp.break_mask
+        snap_disc = self.discard_mask
+        snap_ret_mask = fr.ret_mask
+
+        def body_fn(_k, c):
+            c = list(c)
+            pos = 0
+            for n, loc, sp in zip(names, locs, specs):
+                val, pos = self._carry_unflatten(sp, c, pos)
+                (fr.locals if loc == "L" else self.globals)[n] = val
+            if break_slot is not None:
+                lp.break_mask = c[break_slot]
+            if disc_slot is not None:
+                self.discard_mask = c[disc_slot]
+            base_locals = dict(fr.locals)
+            base_globals = dict(self.globals)
+            if self._one_counted_iteration(s, lp, outer) == "break":
+                raise _RollAbort("concrete break inside rolled body")
+            if fr.ret_mask is not snap_ret_mask:
+                raise _RollAbort("return inside rolled body")
+            # Any rebinding outside the carry set means the write-set
+            # analysis missed something — abort at trace time, never
+            # produce wrong pixels.
+            for k, v in fr.locals.items():
+                if k not in carried_local and base_locals.get(k) is not v:
+                    raise _RollAbort(f"uncarried local write: {k}")
+            for k, v in self.globals.items():
+                if k not in carried_global and base_globals.get(k) is not v:
+                    raise _RollAbort(f"uncarried global write: {k}")
+            out = []
+            for n, loc, sp in zip(names, locs, specs):
+                cur = (fr.locals if loc == "L" else self.globals)[n]
+                self._carry_refill(sp, cur, out)
+            if break_slot is not None:
+                m = lp.break_mask
+                out.append(
+                    jnp.broadcast_to(jnp.asarray(m), bs)
+                    if m is not None
+                    else jnp.zeros(bs, jnp.bool_)
+                )
+            if disc_slot is not None:
+                m = self.discard_mask
+                out.append(
+                    jnp.broadcast_to(jnp.asarray(m), bs)
+                    if m is not None
+                    else jnp.zeros(bs, jnp.bool_)
+                )
+            return tuple(out)
+
+        carried_local = {n for n, loc in zip(names, locs) if loc == "L"}
+        carried_global = {n for n, loc in zip(names, locs) if loc == "G"}
+        try:
+            carry_out = jax.lax.fori_loop(0, remaining, body_fn, tuple(carry))
+        except Exception:
+            fr.locals.clear()
+            fr.locals.update(snap_locals)
+            self.globals.clear()
+            self.globals.update(snap_globals)
+            lp.break_mask = snap_break
+            self.discard_mask = snap_disc
+            fr.ret_mask = snap_ret_mask
+            return probed, False
+        c = list(carry_out)
+        pos = 0
+        for n, loc, sp in zip(names, locs, specs):
+            val, pos = self._carry_unflatten(sp, c, pos)
+            (fr.locals if loc == "L" else self.globals)[n] = val
+        if break_slot is not None:
+            lp.break_mask = c[break_slot]
+        if disc_slot is not None:
+            self.discard_mask = c[disc_slot]
+        return trips, True
+
+    def _carry_snapshot(self, scan, fr):
+        """Flatten the write-set's current values: (names, locations,
+        specs, leaves). Raises _RollAbort on uncarryable values."""
+        names, locs = [], []
+        for n in sorted(scan.writes):
+            if n in fr.locals:
+                names.append(n)
+                locs.append("L")
+            elif n in self.globals:
+                names.append(n)
+                locs.append("G")
+        leaves: list = []
+        specs = []
+        for n, loc in zip(names, locs):
+            v = (fr.locals if loc == "L" else self.globals)[n]
+            specs.append(self._carry_flatten(v, leaves))
+        return names, locs, tuple(specs), leaves
+
+    def _carry_flatten(self, val, leaves):
+        from retrocapture_tpu.frontend.values import smart_device
+
+        if isinstance(val, V):
+            d = val.data
+            arr = smart_device(d) if isinstance(d, np.ndarray) else jnp.asarray(d)
+            leaves.append(arr)
+            return ("V", val.type, arr.shape, str(arr.dtype))
+        if isinstance(val, ArrayVal):
+            return (
+                "A",
+                val.elem_type,
+                tuple(self._carry_flatten(e, leaves) for e in val.elems),
+            )
+        if isinstance(val, StructVal):
+            return (
+                "S",
+                val.name,
+                tuple((k, self._carry_flatten(x, leaves)) for k, x in val.fields.items()),
+            )
+        raise _RollAbort(f"cannot carry {type(val).__name__}")
+
+    def _carry_unflatten(self, spec, leaves, pos):
+        kind = spec[0]
+        if kind == "V":
+            _, t, _shape, _dt = spec
+            return V(leaves[pos], t), pos + 1
+        if kind == "A":
+            _, et, subs = spec
+            elems = []
+            for sp in subs:
+                v, pos = self._carry_unflatten(sp, leaves, pos)
+                elems.append(v)
+            return ArrayVal(elems, et), pos
+        _, nm, items = spec
+        fields = {}
+        for k, sp in items:
+            v, pos = self._carry_unflatten(sp, leaves, pos)
+            fields[k] = v
+        return StructVal(nm, fields), pos
+
+    def _carry_refill(self, spec, val, out):
+        """Flatten ``val`` coerced to ``spec`` (fori carries must be
+        structure-invariant). Raises _RollAbort on true mismatches."""
+        kind = spec[0]
+        if kind == "V":
+            _, t, shape, dt = spec
+            if not isinstance(val, V) or val.type != t:
+                raise _RollAbort("carry value changed type")
+            arr = jnp.asarray(val.data)
+            if str(arr.dtype) != dt:
+                arr = arr.astype(dt)
+            if arr.shape != shape:
+                try:
+                    arr = jnp.broadcast_to(arr, shape)
+                except Exception as e:  # noqa: BLE001
+                    raise _RollAbort(f"carry shape drifted: {e}")
+            out.append(arr)
+            return
+        if kind == "A":
+            _, et, subs = spec
+            if not isinstance(val, ArrayVal) or len(val.elems) != len(subs):
+                raise _RollAbort("carry array changed arity")
+            for sp, e in zip(subs, val.elems):
+                self._carry_refill(sp, e, out)
+            return
+        _, nm, items = spec
+        if not isinstance(val, StructVal):
+            raise _RollAbort("carry struct changed kind")
+        for k, sp in items:
+            if k not in val.fields:
+                raise _RollAbort("carry struct lost a field")
+            self._carry_refill(sp, val.fields[k], out)
 
     def _exec_loop(
         self,
@@ -1611,6 +1979,202 @@ def _writes_var(node, name: str) -> bool:
             for f in dataclasses.fields(n):
                 stack.append(getattr(n, f.name))
     return False
+
+
+def _lv_root(e) -> Optional[str]:
+    """Root identifier of an l-value chain (`a.b[i].c` -> 'a')."""
+    while isinstance(e, (A.Member, A.Index)):
+        e = e.obj
+    return e.name if isinstance(e, A.Ident) else None
+
+
+def _expr_idents(e) -> set[str]:
+    return {x.name for x in _walk_exprs(e) if isinstance(x, A.Ident)}
+
+
+def _decl_names(node) -> set[str]:
+    """Every Declarator name anywhere under ``node`` (the interpreter's
+    frame scope is flat, so any declaration in a function body names a
+    frame-local for the whole activation)."""
+    import dataclasses
+
+    out: set[str] = set()
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n is None:
+            continue
+        if isinstance(n, list):
+            stack.extend(n)
+            continue
+        if isinstance(n, A.DeclStmt):
+            out.update(d.name for d in n.declarators)
+        if dataclasses.is_dataclass(n) and not isinstance(n, type):
+            for f in dataclasses.fields(n):
+                stack.append(getattr(n, f.name))
+    return out
+
+
+class _BodyScan:
+    """Syntactic facts about a counted loop's body+step needed to roll it
+    into ``lax.fori_loop``: every caller-visible name the body can write
+    (assignment/inc-dec roots, out/inout copy-backs, and — transitively —
+    global writes of called user functions), plus whether it contains
+    break/continue at this loop's level, return, or discard. ``ok=False``
+    means a construct the analysis can't bound (non-ident l-value root,
+    recursion) — the caller then unrolls eagerly as before."""
+
+    def __init__(self, fns: dict):
+        self.fns = fns
+        self.writes: set[str] = set()
+        self.has_break = False
+        self.has_continue = False
+        self.has_return = False
+        self.has_discard = False
+        self.ok = True
+        self._memo: dict[int, tuple] = {}
+        self._stack: set[int] = set()
+
+    def scan(self, body, step) -> "_BodyScan":
+        self._stmt(body, 0)
+        if step is not None:
+            self._expr(step)
+        return self
+
+    def _stmt(self, s, depth: int) -> None:
+        if s is None or not self.ok:
+            return
+        if isinstance(s, A.Block):
+            for p in s.body:
+                self._stmt(p, depth)
+        elif isinstance(s, A.ExprStmt):
+            self._expr(s.expr)
+        elif isinstance(s, A.DeclStmt):
+            for d in s.declarators:
+                # Flat frame scope: the declared value persists past the
+                # iteration, so it is loop-carried state.
+                self.writes.add(d.name)
+                if d.init is not None:
+                    self._expr(d.init)
+                for dim in d.array_size or []:
+                    if dim is not None:
+                        self._expr(dim)
+        elif isinstance(s, A.If):
+            self._expr(s.cond)
+            self._stmt(s.then, depth)
+            self._stmt(s.other, depth)
+        elif isinstance(s, A.For):
+            self._stmt(s.init, depth + 1)
+            self._expr(s.cond)
+            self._expr(s.step)
+            self._stmt(s.body, depth + 1)
+        elif isinstance(s, A.While):
+            self._expr(s.cond)
+            self._stmt(s.body, depth + 1)
+        elif isinstance(s, A.DoWhile):
+            self._stmt(s.body, depth + 1)
+            self._expr(s.cond)
+        elif isinstance(s, A.Return):
+            self.has_return = True
+            self._expr(s.value)
+        elif isinstance(s, A.Break):
+            if depth == 0:
+                self.has_break = True
+        elif isinstance(s, A.Continue):
+            if depth == 0:
+                self.has_continue = True
+        elif isinstance(s, A.Discard):
+            self.has_discard = True
+        else:
+            self.ok = False
+
+    def _expr(self, e) -> None:
+        if e is None or not self.ok:
+            return
+        if isinstance(e, (A.Num, A.BoolLit, A.Ident)):
+            return
+        if isinstance(e, A.Assign):
+            self._mark_write(e.target)
+            self._expr(e.target)
+            self._expr(e.value)
+        elif isinstance(e, (A.PrefixIncDec, A.PostfixIncDec)):
+            self._mark_write(e.operand)
+            self._expr(e.operand)
+        elif isinstance(e, A.Unary):
+            self._expr(e.operand)
+        elif isinstance(e, A.Binary):
+            self._expr(e.left)
+            self._expr(e.right)
+        elif isinstance(e, A.Ternary):
+            self._expr(e.cond)
+            self._expr(e.then)
+            self._expr(e.other)
+        elif isinstance(e, A.Member):
+            self._expr(e.obj)
+        elif isinstance(e, A.Index):
+            self._expr(e.obj)
+            self._expr(e.index)
+        elif isinstance(e, (A.Comma, A.BraceInit)):
+            for p in e.parts:
+                self._expr(p)
+        elif isinstance(e, A.Call):
+            self._call(e)
+        else:
+            self.ok = False
+
+    def _mark_write(self, target) -> None:
+        root = _lv_root(target)
+        if root is None:
+            self.ok = False
+        else:
+            self.writes.add(root)
+
+    def _call(self, e: A.Call) -> None:
+        for a in e.args:
+            self._expr(a)
+        cands = self.fns.get(e.func)
+        if cands:
+            for fd in cands:
+                if len(fd.params) != len(e.args):
+                    continue
+                for p, arg in zip(fd.params, e.args):
+                    if p.is_out:
+                        self._mark_write(arg)
+                        if not self.ok:
+                            return
+                gw, disc = self._fn_effects(fd)
+                if gw is None:
+                    self.ok = False
+                    return
+                self.writes |= gw
+                self.has_discard |= disc
+            return
+        # Builtins, texture fns, constructors: no caller-visible writes
+        # except modf's out parameter.
+        if e.func == "modf" and len(e.args) == 2:
+            self._mark_write(e.args[1])
+
+    def _fn_effects(self, fd):
+        """(frozenset of global writes, has_discard) of a user function,
+        transitive over its callees; (None, False) when unanalyzable."""
+        key = id(fd)
+        if key in self._memo:
+            return self._memo[key]
+        if key in self._stack or fd.body is None:
+            return None, False
+        self._stack.add(key)
+        sub = _BodyScan(self.fns)
+        sub._memo = self._memo
+        sub._stack = self._stack
+        sub._stmt(fd.body, 1)
+        self._stack.discard(key)
+        if not sub.ok:
+            out = (None, False)
+        else:
+            local = {p.name for p in fd.params} | _decl_names(fd.body)
+            out = (frozenset(sub.writes - local), sub.has_discard)
+        self._memo[key] = out
+        return out
 
 
 def _static_trip_count(s):

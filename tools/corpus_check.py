@@ -48,6 +48,21 @@ def _worker(task_q, result_q, size):
                 rec["error"] = e.last_error
             else:
                 out = np.asarray(e.apply(frame))
+                if float(out.std()) == 0.0 and np.all(np.isfinite(out)):
+                    # Flat at frame 0 is not necessarily broken: the
+                    # procedural family fades in from black over ~100
+                    # frames (col *= smoothstep(0,2.5,FrameCount*.025)).
+                    # Re-judge at FrameCount=200.
+                    import dataclasses
+
+                    import jax.numpy as jnp
+
+                    for key, st in list(e._states.items()):
+                        e._states[key] = dataclasses.replace(
+                            st, frame_count=jnp.int32(200)
+                        )
+                    out = np.asarray(e.apply(frame))
+                    rec["flat_at_frame0"] = True
                 if not np.all(np.isfinite(out)):
                     rec["status"] = "nonfinite"
                 elif float(out.std()) == 0.0:
