@@ -24,6 +24,7 @@ affine-grid cases.
 from __future__ import annotations
 
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -463,7 +464,15 @@ def _axis_block_plan(
     of multiply-by-zero per frame); this form pays m*t FMAs and fuses.
 
     Index/weight math mirrors _axis_matrix bit-for-bit. Returns
-    (a, D, sel, W, pad_lo, pad_hi, mq, b, m) or None."""
+    (a, D, sel, W, pad_lo, pad_hi, mq, b, m) or None.
+
+    Default OFF (RCTPU_BLOCK_RESAMPLE=1 enables): measured on the chip,
+    the strided window slices lower to Mosaic relayout copies that
+    materialize per-tap, and the bench regressed where the one-hot
+    matmul rides the MXU (xbr-lv2 229 -> 156 fps, scanline 1664 -> 883;
+    same story as the concat formulation in _rational_pattern)."""
+    if os.environ.get("RCTPU_BLOCK_RESAMPLE", "0") != "1":
+        return None
     m = coord_f32.shape[0]
     if m < 4:
         return None

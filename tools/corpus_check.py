@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import multiprocessing as mp
 import sys
 import time
@@ -91,7 +92,8 @@ def main() -> int:
 
     presets = sorted(SHADERS.rglob("*.glslp"))
     if args.filter:
-        presets = [p for p in presets if args.filter in str(p)]
+        pat = re.compile(args.filter)
+        presets = [p for p in presets if pat.search(str(p))]
     if args.limit:
         presets = presets[: args.limit]
     rels = [str(p.relative_to(SHADERS)) for p in presets]
