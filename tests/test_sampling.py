@@ -247,13 +247,15 @@ def test_banded_exact_on_violent_warps():
 
 @pytest.mark.parametrize("wrap", WRAP_MODES)
 @pytest.mark.parametrize("linear", [False, True])
-def test_block_periodic_axis_matches_matrix(wrap, linear):
-    """Rational-ratio (b > 1) axis resamples lower to the block-periodic
-    elementwise form (xbr-lv2's 21 NEAREST taps to 1080p each paid a
+def test_block_periodic_axis_matches_matrix(wrap, linear, monkeypatch):
+    """Rational-ratio (b > 1) axis resamples can lower to the
+    block-periodic elementwise form (RCTPU_BLOCK_RESAMPLE=1; default off
+    on chip measurement (xbr-lv2's 21 NEAREST taps to 1080p each paid a
     dense [1080,240]+[1920,320] matmul — ~125 GFLOP/frame of
     multiply-by-zero). NEAREST selection must be bit-identical to the
     one-hot matmul; LINEAR may differ by 1 ulp (mul+add vs the einsum's
     fused accumulate)."""
+    monkeypatch.setenv("RCTPU_BLOCK_RESAMPLE", "1")
     import jax.numpy as jnp
 
     from retrocapture_tpu.ops.sampling import (
@@ -282,9 +284,10 @@ def test_block_periodic_axis_matches_matrix(wrap, linear):
                 assert np.array_equal(got, want), (n_src, n_out, wrap, off_t)
 
 
-def test_block_periodic_axis1_and_ragged_tail():
+def test_block_periodic_axis1_and_ragged_tail(monkeypatch):
     """x-axis block take, plus an output length that is not a multiple of
     the phase count (ragged tail padding must slice back exactly)."""
+    monkeypatch.setenv("RCTPU_BLOCK_RESAMPLE", "1")
     import jax.numpy as jnp
 
     from retrocapture_tpu.ops.sampling import (
