@@ -253,20 +253,20 @@ def batch_scaling():
         if names and name not in names:
             continue
         for batch in batches:
-            e = Engine(viewport=(1920, 1080))
-            assert e.load_preset(str(preset)), e.last_error
-            e.set_input_format(fmt)
-            if fmt == "nv12":
-                raw = jnp.asarray((rng.random((batch, h + h // 2, w)) * 255).astype(np.uint8))
-            else:
-                raw = jnp.asarray((rng.random((batch, h, w, 3)) * 255).astype(np.uint8))
-            vary = jax.jit(lambda f, k: f ^ k)
-
-            def produce():
-                counter[0] += 1
-                return vary(raw, jnp.uint8(counter[0] % 251))
-
             try:
+                e = Engine(viewport=(1920, 1080))
+                assert e.load_preset(str(preset)), e.last_error
+                e.set_input_format(fmt)
+                if fmt == "nv12":
+                    raw = jnp.asarray((rng.random((batch, h + h // 2, w)) * 255).astype(np.uint8))
+                else:
+                    raw = jnp.asarray((rng.random((batch, h, w, 3)) * 255).astype(np.uint8))
+                vary = jax.jit(lambda f, k: f ^ k)
+
+                def produce():
+                    counter[0] += 1
+                    return vary(raw, jnp.uint8(counter[0] % 251))
+
                 t0 = time.time()
                 out = e.apply(produce(), output="u8")
                 sync = jax.jit(lambda x: jnp.sum(jnp.asarray(x, jnp.float32)))
