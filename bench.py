@@ -32,14 +32,19 @@ TARGET_FPS = 5000.0
 
 CONFIGS = [
     # (name, preset path, source (h, w), batch, input_format)
-    ("scanline-320", SHADERS / "interpolation/sharp-bilinear-scanlines.glslp", (240, 320), 64, "rgb"),
+    # Batch sizes from tools/profile_chain.py batch-scaling (2026-08-18):
+    # throughput configs saturate at 128 (scanline 1911->3411 fps,
+    # feedback 2604->3410, ntsc 759->821); xbr-lv2 OOMs HBM at 64 (its 21
+    # materialized 1080p tap planes scale with batch); mattias is
+    # VPU-bound and flat in batch.
+    ("scanline-320", SHADERS / "interpolation/sharp-bilinear-scanlines.glslp", (240, 320), 128, "rgb"),
     ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 32, "rgb"),
     # 240p source (the CRT-shader operating point: the app feeds CRT
     # chains a logical-resolution downscale, FrameCapturePipeline.cpp:142)
     # rendered at a 1080p viewport.
-    ("crt-mattias-1080p", SHADERS / "crt/crt-mattias.glslp", (240, 320), 16, "rgb"),
-    ("ntsc-320px", SHADERS / "ntsc/ntsc-320px.glslp", (240, 320), 32, "rgb"),
-    ("feedback-ghost-nv12", REPO / "assets/presets/feedback-ghost.glslp", (240, 320), 32, "nv12"),
+    ("crt-mattias-1080p", SHADERS / "crt/crt-mattias.glslp", (240, 320), 32, "rgb"),
+    ("ntsc-320px", SHADERS / "ntsc/ntsc-320px.glslp", (240, 320), 128, "rgb"),
+    ("feedback-ghost-nv12", REPO / "assets/presets/feedback-ghost.glslp", (240, 320), 128, "nv12"),
 ]
 
 VIEWPORT = (1920, 1080)  # (W, H)
@@ -109,10 +114,13 @@ def bench_config(name, preset, shape, batch, fmt, *, iters=8, warmup=2):
         for i in range(iters):
             out = e.apply(produce(), output="u8")
             n += batch
-            # Bound the async in-flight depth: each queued execution
-            # holds its output + workspace in HBM, and 8 queued 1080p
-            # batch-32 programs can exceed capacity.
-            if i % 2 == 1:
+            # Bound the async in-flight depth: queued executions hold
+            # their inputs + outputs in HBM. With u8 outputs (6.2 MB per
+            # 1080p frame) four in flight is a few hundred MB to ~1.6 GB
+            # at batch 128 — well within the 16 GB chip; the every-2
+            # cadence dated from f32 RGBA outputs and cost ~25% of
+            # scanline's throughput in relay round trips.
+            if i % 4 == 3:
                 float(sync(out))
         float(sync(out))
         window_fps.append(n / (time.time() - t0))

@@ -385,7 +385,8 @@ def plan_factorization(
     # large phase-mixing sections (xbr's fp-driven edge blending) lose —
     # their full-phase-volume ops don't fuse into few kernels and the
     # chain runs several times slower than the plain grid.
-    if f.ry * f.rx > 8:
+    # RCTPU_FACTORED=all skips the volume gate for A/B runs.
+    if f.ry * f.rx > 8 and os.environ.get("RCTPU_FACTORED") != "all":
         return None
     padded = f.my * f.ry * f.mx * f.rx
     if padded > max_overhead * oh * ow:
