@@ -1701,6 +1701,7 @@ class ShaderEval:
                         d[..., 1],
                         filter_linear=sampler.filter_linear,
                         wrap_mode=sampler.wrap_mode,
+                        quantized_u8=getattr(sampler, "quantized", False),
                     )
                     return V(out, GType("float", (4,)))
                 fn = sample2d_affine_mip if sampler.mipmap else sample2d_affine
@@ -1803,6 +1804,7 @@ class ShaderEval:
             filter_linear=sampler.filter_linear,
             wrap_mode=sampler.wrap_mode,
             prefer_banded=n_traced >= getattr(self.ctx, "max_pallas_taps", 8),
+            quantized_u8=getattr(sampler, "quantized", False),
         )
         return V(out, GType("float", (4,)))
 

@@ -301,10 +301,13 @@ class SamplerVal:
     """A bound sampler2D: texture data + sampling state, resolved by the
     pass binding model (graph/plan.py)."""
 
-    __slots__ = ("name", "tex", "filter_linear", "wrap_mode", "size", "mipmap")
+    __slots__ = (
+        "name", "tex", "filter_linear", "wrap_mode", "size", "mipmap", "quantized"
+    )
 
     def __init__(
-        self, name: str, tex, filter_linear: bool, wrap_mode: str, mipmap: bool = False
+        self, name: str, tex, filter_linear: bool, wrap_mode: str,
+        mipmap: bool = False, quantized: bool = False,
     ):
         self.name = name
         self.tex = tex  # [H, W, C] float32
@@ -312,6 +315,11 @@ class SamplerVal:
         self.wrap_mode = wrap_mode
         self.size = (tex.shape[1], tex.shape[0])  # (W, H)
         self.mipmap = mipmap
+        # True when every texel provably sits on the k/255 grid (RGBA8
+        # pass outputs, u8-normalized chain input, PNG LUTs): NEAREST
+        # matmul taps may then rematerialize through uint8 (sampling.py
+        # _requant_u8) — 1/4 the HBM traffic per tap plane.
+        self.quantized = quantized
 
 
 class ArrayVal:

@@ -250,10 +250,14 @@ class TexBinding:
     filter_linear: bool
     wrap_mode: str
     mipmap: bool = False
+    # Texels provably on the k/255 grid (RGBA8 pass outputs, history
+    # entries, u8 chain input, PNG LUTs) — see SamplerVal.quantized.
+    quantized: bool = False
 
     def sampler(self, name: str) -> SamplerVal:
         return SamplerVal(
-            name, self.tex, self.filter_linear, self.wrap_mode, self.mipmap
+            name, self.tex, self.filter_linear, self.wrap_mode, self.mipmap,
+            self.quantized,
         )
 
 
@@ -336,7 +340,8 @@ class PassContext:
             import jax.numpy as jnp
 
             return TexBinding(
-                jnp.asarray(lut.data), lut.linear, lut.wrap_mode, lut.mipmap
+                jnp.asarray(lut.data), lut.linear, lut.wrap_mode, lut.mipmap,
+                quantized=True,  # PNG bytes / 255 (see _load_lut)
             )
         if name in self._alias_to_pass:
             j = self._alias_to_pass[name]

@@ -944,6 +944,20 @@ def _sample2d_banded(
     return outs[:ho] if hop != ho else outs
 
 
+def _requant_u8(out):
+    """Round-trip a NEAREST-selected sample of RGBA8-quantized texels
+    through uint8 on its way to HBM. Exact: every selected value is
+    f32(k/255) up to the matmul's bf16 operand rounding, whose absolute
+    error (<= 2^-9 relative, <= 0.00195 at 1.0) stays under the 0.5/255
+    recovery threshold, so round(x*255) returns k for every k — this
+    both QUARTERS the materialized tap-plane traffic (xbr-lv2's 21
+    one-hot matmul planes were 24 MB f32 each) and restores bit-exact
+    f32 values after the MXU's bf16 conversion. On f32 backends (CPU
+    parity oracle) the transform is the identity."""
+    q = jnp.round(out * np.float32(255.0)).astype(jnp.uint8)
+    return q.astype(jnp.float32) * np.float32(1.0 / 255.0)
+
+
 def sample2d(
     tex: jax.Array,
     u: jax.Array,
@@ -952,6 +966,7 @@ def sample2d(
     filter_linear: bool,
     wrap_mode: str = "clamp_to_edge",
     prefer_banded: bool = False,
+    quantized_u8: bool = False,
 ) -> jax.Array:
     """Sample ``tex [H, W, C]`` at normalized coords ``u, v`` (any common
     shape S) with GL semantics. Returns ``[*S, C]`` in ``tex.dtype``.
@@ -974,14 +989,20 @@ def sample2d(
             out = _separable_slices(tex, u_row, v_col, filter_linear, wrap_mode)
             if out is not None:
                 return out.astype(tex.dtype)
+            requant = quantized_u8 and not filter_linear
             ax = _axis_matrix_device(u_row, w, filter_linear, wrap_mode)
             ay = _axis_matrix_device(v_col, h, filter_linear, wrap_mode)
             th = jnp.einsum(
                 "hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32
             )
-            return jnp.einsum(
+            if requant:
+                th = _requant_u8(th)
+            out = jnp.einsum(
                 "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32
-            ).astype(tex.dtype)
+            )
+            if requant:
+                out = _requant_u8(out)
+            return out.astype(tex.dtype)
     # Warped 2D grids: gather-free paths on TPU (its gathers are ~40x
     # slower than the MXU contractions; both paths are exact for every
     # wrap mode and arbitrary warps). The Pallas kernel keeps the tap

@@ -642,6 +642,8 @@ class Engine:
 
             return jax.vmap(lambda t: blit_u8(t, vw, vh))(outs_b)
 
+        src_quant = [False]
+
         def single(
             src, history, feedback, frame_count, time, pvals=None, blit=True,
             allow_factored=True,
@@ -658,9 +660,18 @@ class Engine:
                 pvals if pvals is not None else params,
                 blit=blit,
                 allow_factored=allow_factored,
+                source_quantized=src_quant[0],
             )
 
         def normalize(raw_b):
+            # Chain input sits on the k/255 grid only when it is raw u8
+            # RGB with no packed-format convert and no pre-resize (both
+            # produce off-grid floats). Trace-time static per jit key.
+            src_quant[0] = (
+                raw_b.dtype == jnp.uint8
+                and self._input_format == "rgb"
+                and (pw, ph) == (w, h)
+            )
             if self._input_format != "rgb":
                 raw_b = self._convert_packed(raw_b)
             src_b = Engine._to_rgba_float(raw_b)
@@ -840,6 +851,7 @@ def _run_chain(
     params: dict[str, float],
     blit: bool = True,
     allow_factored: bool = True,
+    source_quantized: bool = False,
 ):
     """Execute every pass of a compiled preset for one frame. FrameCount
     increments once per frame, not per pass (ShaderEngine.cpp:1685-1689);
@@ -858,25 +870,36 @@ def _run_chain(
             return cfg.filter_linear, cfg.wrap_mode, cfg.mipmap_input
         return True, "clamp_to_edge", False
 
+    def _stored_quant(j: int) -> bool:
+        cfg_j = preset.passes[j]
+        return not cfg_j.float_framebuffer and not cfg_j.srgb_framebuffer
+
     original_binding = TexBinding(
         source,
         preset.passes[0].filter_linear,
         preset.passes[0].wrap_mode,
         preset.passes[0].mipmap_input,
+        quantized=source_quantized,
     )
-    history_bindings = [TexBinding(t, True, "clamp_to_edge") for t in history]
+    # History entries are RGBA8 copies (framebuffer_store below).
+    history_bindings = [
+        TexBinding(t, True, "clamp_to_edge", quantized=True) for t in history
+    ]
 
     pass_outputs: list[Optional[TexBinding]] = []
     outputs_raw: list = []
     current = source
+    cur_quant = source_quantized
     for i, cp in enumerate(prog.passes):
         cfg = preset.passes[i]
         sh = shapes[i]
         input_binding = TexBinding(
-            current, cfg.filter_linear, cfg.wrap_mode, cfg.mipmap_input
+            current, cfg.filter_linear, cfg.wrap_mode, cfg.mipmap_input,
+            quantized=cur_quant,
         )
         fb_bindings = {
-            j: TexBinding(t, *filter_of_output(j)) for j, t in feedback.items()
+            j: TexBinding(t, *filter_of_output(j), quantized=_stored_quant(j))
+            for j, t in feedback.items()
         }
         ctx = PassContext(
             prog,
@@ -904,8 +927,11 @@ def _run_chain(
             srgb_framebuffer=cfg.srgb_framebuffer,
         )
         outputs_raw.append(stored)
-        pass_outputs.append(TexBinding(stored, *filter_of_output(i)))
+        pass_outputs.append(
+            TexBinding(stored, *filter_of_output(i), quantized=_stored_quant(i))
+        )
         current = stored
+        cur_quant = _stored_quant(i)
 
     final = current
 
