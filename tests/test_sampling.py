@@ -310,3 +310,32 @@ def test_block_periodic_axis1_and_ragged_tail(monkeypatch):
         a = _axis_matrix(coord, 320, False, "clamp_to_edge")
         want = np.einsum("ms,hsc->hmc", a, tex).astype(np.float32)
         assert np.array_equal(got, want), n_out
+
+
+def test_requant_u8_identity_on_quantized_grid():
+    """quantized_u8=True must be a bit-identity for NEAREST separable
+    samples of RGBA8-grid textures on the f32 backend (sampling.py
+    _requant_u8): same einsum lowering, values snapped through uint8."""
+    import jax.numpy as jnp
+
+    from retrocapture_tpu.ops.sampling import sample2d
+
+    rng = np.random.default_rng(7)
+    k = rng.integers(0, 256, (24, 32, 4)).astype(np.float32)
+    tex = jnp.asarray(k * np.float32(1.0 / 255.0))  # the engine's u8 grid
+    yy, xx = np.meshgrid(
+        ((np.arange(54) + 0.5) / 54).astype(np.float32),
+        ((np.arange(70) + 0.5) / 70).astype(np.float32),
+        indexing="ij",
+    )
+    for wrap in WRAP_MODES:
+        a = np.asarray(
+            sample2d(tex, xx, yy, filter_linear=False, wrap_mode=wrap)
+        )
+        b = np.asarray(
+            sample2d(
+                tex, xx, yy, filter_linear=False, wrap_mode=wrap,
+                quantized_u8=True,
+            )
+        )
+        assert np.array_equal(a, b), wrap

@@ -40,6 +40,12 @@ PRESETS = [
     "procedural/nimitz-cloud-ten/nimitz-cloud-ten.glslp",
     "procedural/shane-abstract-corridor/shane-abstract-corridor.glslp",
     "procedural/sudonhim-cloudy-voxel-world/sudonhim-cloudy-voxel-world.glslp",
+    "procedural/sudonhim-cloudy-voxel-world-2/sudonhim-cloudy-voxel-world.glslp",
+    "procedural/pmalin-waterfalls/pmalin-waterfalls.glslp",
+    "procedural/pmalin-waterfalls-hd/pmalin-waterfalls-hd.glslp",
+    "scalefx/scalefx-9x.glslp",
+    "scalefx/scalefx+rAA.glslp",
+    "denoisers/slow-bilateral.glslp",
 ]
 
 CODE = r"""
@@ -82,8 +88,11 @@ def main() -> int:
     args = ap.parse_args()
     repo = str(Path(__file__).resolve().parent.parent)
     results = []
+    import re
+
+    pat = re.compile(args.filter) if args.filter else None
     for p in PRESETS:
-        if args.filter and args.filter not in p:
+        if pat is not None and not pat.search(p):
             continue
         t0 = time.time()
         try:
