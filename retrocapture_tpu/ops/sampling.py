@@ -24,6 +24,7 @@ affine-grid cases.
 from __future__ import annotations
 
 
+import contextlib
 import os
 import jax
 import jax.numpy as jnp
@@ -944,6 +945,153 @@ def _sample2d_banded(
     return outs[:ho] if hop != ho else outs
 
 
+# ---------------------------------------------------------------------------
+# Cross-tap dedup for NEAREST one-hot matmul taps.
+#
+# Neighborhood shaders (xbr's 21-tap edge rules, FIR crosses) sample the
+# SAME texture at coords differing by integer texel offsets. Each tap
+# lowered independently pays its own pair of resampling matmuls — and the
+# x-matmul (source W → viewport W at output height) dominates: 21 taps of
+# a 240p→1080p NEAREST upscale is ~42 GMAC/frame of one-hot contraction
+# re-selecting the same texels. Within one chain execution
+# (``tap_dedup_scope``, entered by runtime._run_chain) taps share work:
+#
+#   * y stage: taps whose v-texel index vectors match bit-for-bit share
+#     one ``ay @ tex`` product (xbr: 21 → 5 distinct dy rows);
+#   * x stage: when the x-texel index progression is output-periodic
+#     (exact integer output columns per source texel — every integer
+#     upscale, e.g. 320→1920 advances 1 texel per 6 columns), ONE
+#     extended matmul with ±margin texels of extra columns serves every
+#     integer-shifted tap as a contiguous slice (21 x-matmuls → 5).
+#
+# Index math mirrors _axis_matrix_traced bit-for-bit (host float32 mul +
+# floor against the device build); one-hot rows select, so equal indices
+# give identical matmul results and the dedup is exact.
+
+_TAP_DEDUP = None  # per-chain dict while inside tap_dedup_scope()
+_DEDUP_MARGIN = 4  # texels of x-shift covered each side of the base tap
+
+
+@contextlib.contextmanager
+def tap_dedup_scope():
+    """Scope within which NEAREST matmul taps share y-products and
+    extended x-planes. Entered once per chain execution; nesting-safe
+    (saves/restores), and the dict only lives for the trace so no
+    tracers leak across jit boundaries."""
+    global _TAP_DEDUP
+    old = _TAP_DEDUP
+    _TAP_DEDUP = {}
+    try:
+        yield
+    finally:
+        _TAP_DEDUP = old
+
+
+def _host_floor_idx(coord_f32: np.ndarray, n: int):
+    """Raw (pre-wrap) NEAREST texel indices via the exact float32 ops the
+    device matrix builder uses (_ifloor32(coord * n)), or None when any
+    coordinate is non-finite or too large for safe int math."""
+    x = coord_f32.astype(np.float32) * np.float32(n)
+    if not np.all(np.isfinite(x)) or np.any(np.abs(x) >= np.float32(2**30)):
+        return None
+    return np.floor(x).astype(np.int64)
+
+
+def _output_period(raw: np.ndarray, max_t: int = 32):
+    """Smallest t with raw[j+t] == raw[j] + 1 for all j — the exact
+    output-column period of a 1-texel source step — or None."""
+    m = raw.shape[0]
+    for t in range(1, min(max_t, m - 1) + 1):
+        if np.array_equal(raw[t:], raw[: m - t] + 1):
+            return t
+    return None
+
+
+def _onehot_from_idx(raw_idx: np.ndarray, n: int, wrap: str):
+    """[m, n] one-hot float32 resampling matrix from raw integer texel
+    indices, built on device from a barriered index vector (same
+    HLO-literal-avoidance rationale as _axis_matrix_device)."""
+    idx, valid = _wrap_index_np(raw_idx, n, wrap)
+    iw = jnp.arange(n, dtype=jnp.int32)[None, :]
+    dev = jax.lax.optimization_barrier(jnp.asarray(idx, jnp.int32))
+    a = (iw == dev[:, None]).astype(jnp.float32)
+    if valid is not None:
+        vm = jax.lax.optimization_barrier(jnp.asarray(valid, jnp.float32))
+        a = a * vm[:, None]
+    return a
+
+
+def _dedup_nearest_matmul(tex, u_row, v_col, wrap: str, requant: bool):
+    """Shared-work lowering of one NEAREST separable matmul tap inside a
+    tap_dedup_scope. Returns [oh, ow, C] float32 or None (caller falls
+    back to the plain per-tap matmul pair)."""
+    if _TAP_DEDUP is None:
+        return None
+    h, w, _ = tex.shape
+    ry = _host_floor_idx(np.asarray(v_col, np.float32), h)
+    rx = _host_floor_idx(np.asarray(u_row, np.float32), w)
+    if ry is None or rx is None:
+        return None
+    ow = rx.shape[0]
+
+    # --- y stage: share ay @ tex across taps with equal v-index vectors.
+    th_key = ("th", id(tex), wrap, requant, ry.tobytes())
+    hit = _TAP_DEDUP.get(th_key)
+    if hit is None:
+        ay = _onehot_from_idx(ry, h, wrap)
+        th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32)
+        if requant:
+            th = _requant_u8(th)
+        _TAP_DEDUP[th_key] = (tex, th)  # hold tex so id() stays unique
+        th = _TAP_DEDUP[th_key][1]
+    else:
+        th = hit[1]
+
+    # --- x stage: extended plane shared across integer-shifted taps.
+    t = _output_period(rx)
+    mt = _DEDUP_MARGIN
+    if t is None or 2 * mt * t > max(ow // 8, 2 * t):
+        # No usable period (or margin overhead too large): plain x matmul,
+        # still profiting from the shared th.
+        ax = _onehot_from_idx(rx, w, wrap)
+        out = jnp.einsum("ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32)
+        return _requant_u8(out) if requant else out
+
+    fam_key = ("ext", id(tex), wrap, requant, ry.tobytes(), t)
+    entry = _TAP_DEDUP.get(fam_key)
+    dx = None
+    if entry is not None:
+        d = rx - entry["rx_base"]
+        if d.min() == d.max() and abs(int(d[0])) <= mt:
+            dx = int(d[0])
+        else:
+            entry = None
+    if entry is None:
+        # Build the extended plane around THIS tap as the family base:
+        # columns m in [0, ow + 2*mt*t) carry raw index
+        # rx[r] + q  where  m - mt*t = q*t + r,  r in [0, t).
+        j = np.arange(-mt * t, ow + mt * t, dtype=np.int64)
+        ext_raw = rx[np.remainder(j, t)] + np.floor_divide(j, t)
+        # Consistency: the center window must reproduce rx exactly.
+        if not np.array_equal(ext_raw[mt * t : mt * t + ow], rx):
+            ax = _onehot_from_idx(rx, w, wrap)
+            out = jnp.einsum(
+                "ws,hsc->hwc", ax, th, preferred_element_type=jnp.float32
+            )
+            return _requant_u8(out) if requant else out
+        ax_ext = _onehot_from_idx(ext_raw, w, wrap)
+        ext = jnp.einsum(
+            "ws,hsc->hwc", ax_ext, th, preferred_element_type=jnp.float32
+        )
+        if requant:
+            ext = _requant_u8(ext)
+        entry = {"rx_base": rx, "ext": ext, "tex": tex}
+        _TAP_DEDUP[fam_key] = entry
+        dx = 0
+    s = mt * t + dx * t
+    return jax.lax.slice_in_dim(entry["ext"], s, s + ow, axis=1)
+
+
 def _requant_u8(out):
     """Round-trip a NEAREST-selected sample of RGBA8-quantized texels
     through uint8 on its way to HBM. Exact: every selected value is
@@ -990,6 +1138,10 @@ def sample2d(
             if out is not None:
                 return out.astype(tex.dtype)
             requant = quantized_u8 and not filter_linear
+            if not filter_linear and _TAP_DEDUP is not None:
+                out = _dedup_nearest_matmul(tex, u_row, v_col, wrap_mode, requant)
+                if out is not None:
+                    return out.astype(tex.dtype)
             ax = _axis_matrix_device(u_row, w, filter_linear, wrap_mode)
             ay = _axis_matrix_device(v_col, h, filter_linear, wrap_mode)
             th = jnp.einsum(

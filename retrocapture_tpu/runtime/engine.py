@@ -839,7 +839,19 @@ jax.tree_util.register_pytree_node(
 # Chain execution (traced)
 
 
-def _run_chain(
+def _run_chain(*args, **kwargs):
+    """Execute every pass of a compiled preset for one frame, with
+    cross-tap dedup scoped to the chain: NEAREST neighborhood taps on the
+    same texture share y-products and extended x-matmul planes
+    (ops/sampling.tap_dedup_scope — xbr-lv2's 21 one-hot tap matmuls
+    collapse to 5 shared planes + slices)."""
+    from retrocapture_tpu.ops.sampling import tap_dedup_scope
+
+    with tap_dedup_scope():
+        return _run_chain_impl(*args, **kwargs)
+
+
+def _run_chain_impl(
     prog: PresetProgram,
     shapes: list[PassShapes],
     viewport: tuple[int, int],
