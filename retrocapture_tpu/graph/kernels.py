@@ -241,10 +241,15 @@ def _xbr_axis_maps(ctx, ow: int, oh: int, w: int, h: int):
         return None
     if plane_cover is not None:
         return None  # transformed quad: evaluator path handles coverage
-    need = ["TEX0", "TEX1", "TEX2", "TEX3", "TEX4", "TEX5", "TEX6", "TEX7"]
-    for nm in need:
+    # TEX0 (texCoord) is a vec2 varying; t1..t7 are vec4s. Require per-name
+    # component counts — the round-2 plane-exact varyings rework started
+    # fitting TEX0 as its declared vec2 and the old uniform ``!= 4`` gate
+    # silently disabled this kernel (xbr bench fell back to the evaluator).
+    need = {"TEX0": 2, "TEX1": 4, "TEX2": 4, "TEX3": 4, "TEX4": 4,
+            "TEX5": 4, "TEX6": 4, "TEX7": 4}
+    for nm, ncomp in need.items():
         v = planes.get(nm)
-        if v is None or v.affine is None or len(v.affine) != 4:
+        if v is None or v.affine is None or len(v.affine) < ncomp:
             return None
 
     def aff(nm, comp):
