@@ -25,7 +25,10 @@ from __future__ import annotations
 
 
 import contextlib
+import contextvars
 import os
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -968,23 +971,30 @@ def _sample2d_banded(
 # floor against the device build); one-hot rows select, so equal indices
 # give identical matmul results and the dedup is exact.
 
-_TAP_DEDUP = None  # per-chain dict while inside tap_dedup_scope()
+# Per-chain dedup scope. A ContextVar (not a module global) so two engine
+# traces on different threads each see their own dict — a shared global
+# could hand one trace another trace's tracers (advisor round-2 finding).
+_TAP_DEDUP_VAR: "contextvars.ContextVar[Optional[dict]]" = contextvars.ContextVar(
+    "rctpu_tap_dedup", default=None
+)
 _DEDUP_MARGIN = 4  # texels of x-shift covered each side of the base tap
+
+
+def _tap_dedup() -> "Optional[dict]":
+    return _TAP_DEDUP_VAR.get()
 
 
 @contextlib.contextmanager
 def tap_dedup_scope():
     """Scope within which NEAREST matmul taps share y-products and
     extended x-planes. Entered once per chain execution; nesting-safe
-    (saves/restores), and the dict only lives for the trace so no
-    tracers leak across jit boundaries."""
-    global _TAP_DEDUP
-    old = _TAP_DEDUP
-    _TAP_DEDUP = {}
+    (saves/restores), thread-/context-local, and the dict only lives for
+    the trace so no tracers leak across jit boundaries."""
+    token = _TAP_DEDUP_VAR.set({})
     try:
         yield
     finally:
-        _TAP_DEDUP = old
+        _TAP_DEDUP_VAR.reset(token)
 
 
 def _host_floor_idx(coord_f32: np.ndarray, n: int):
@@ -1025,7 +1035,8 @@ def _dedup_nearest_matmul(tex, u_row, v_col, wrap: str, requant: bool):
     """Shared-work lowering of one NEAREST separable matmul tap inside a
     tap_dedup_scope. Returns [oh, ow, C] float32 or None (caller falls
     back to the plain per-tap matmul pair)."""
-    if _TAP_DEDUP is None:
+    dedup = _tap_dedup()
+    if dedup is None:
         return None
     h, w, _ = tex.shape
     ry = _host_floor_idx(np.asarray(v_col, np.float32), h)
@@ -1036,14 +1047,14 @@ def _dedup_nearest_matmul(tex, u_row, v_col, wrap: str, requant: bool):
 
     # --- y stage: share ay @ tex across taps with equal v-index vectors.
     th_key = ("th", id(tex), wrap, requant, ry.tobytes())
-    hit = _TAP_DEDUP.get(th_key)
+    hit = dedup.get(th_key)
     if hit is None:
         ay = _onehot_from_idx(ry, h, wrap)
         th = jnp.einsum("hs,swc->hwc", ay, tex, preferred_element_type=jnp.float32)
         if requant:
             th = _requant_u8(th)
-        _TAP_DEDUP[th_key] = (tex, th)  # hold tex so id() stays unique
-        th = _TAP_DEDUP[th_key][1]
+        dedup[th_key] = (tex, th)  # hold tex so id() stays unique
+        th = dedup[th_key][1]
     else:
         th = hit[1]
 
@@ -1058,14 +1069,21 @@ def _dedup_nearest_matmul(tex, u_row, v_col, wrap: str, requant: bool):
         return _requant_u8(out) if requant else out
 
     fam_key = ("ext", id(tex), wrap, requant, ry.tobytes(), t)
-    entry = _TAP_DEDUP.get(fam_key)
+    entry = dedup.get(fam_key)
     dx = None
     if entry is not None:
-        d = rx - entry["rx_base"]
-        if d.min() == d.max() and abs(int(d[0])) <= mt:
-            dx = int(d[0])
-        else:
+        # Same period + same texture can still mean different output
+        # widths (two passes sampling one texture at the same scale but
+        # different crop widths): treat a shape mismatch like the
+        # non-constant-shift case and rebase (advisor round-2 finding).
+        if rx.shape != entry["rx_base"].shape:
             entry = None
+        else:
+            d = rx - entry["rx_base"]
+            if d.min() == d.max() and abs(int(d[0])) <= mt:
+                dx = int(d[0])
+            else:
+                entry = None
     if entry is None:
         # Build the extended plane around THIS tap as the family base:
         # columns m in [0, ow + 2*mt*t) carry raw index
@@ -1086,7 +1104,7 @@ def _dedup_nearest_matmul(tex, u_row, v_col, wrap: str, requant: bool):
         if requant:
             ext = _requant_u8(ext)
         entry = {"rx_base": rx, "ext": ext, "tex": tex}
-        _TAP_DEDUP[fam_key] = entry
+        dedup[fam_key] = entry
         dx = 0
     s = mt * t + dx * t
     return jax.lax.slice_in_dim(entry["ext"], s, s + ow, axis=1)
@@ -1138,7 +1156,7 @@ def sample2d(
             if out is not None:
                 return out.astype(tex.dtype)
             requant = quantized_u8 and not filter_linear
-            if not filter_linear and _TAP_DEDUP is not None:
+            if not filter_linear and _tap_dedup() is not None:
                 out = _dedup_nearest_matmul(tex, u_row, v_col, wrap_mode, requant)
                 if out is not None:
                     return out.astype(tex.dtype)

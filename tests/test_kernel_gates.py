@@ -73,5 +73,11 @@ def test_xbr_kernel_engages_at_noninteger_y_ratio():
 def test_xbr_kernel_bails_on_noninteger_x_ratio():
     # 320 -> 1000 x: tap indices are not uniform source-column shifts
     # everywhere; the kernel must bail (None) and the evaluator serve it.
+    # A gate that wrongly ENGAGES here would produce wrong tap indices,
+    # so assert the bail itself, not just that the gate was consulted
+    # (advisor round-2 finding).
     calls = _probe_engagement(XBR_PRESET, (1000, 750), (240, 320))
-    assert "xbr-lv2.glsl" in calls  # it was consulted and did not crash
+    assert calls.get("xbr-lv2.glsl") is False, (
+        "xbr-lv2 hand kernel must bail (return None) at a non-integer "
+        f"x ratio; gates: {calls}"
+    )

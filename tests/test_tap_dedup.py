@@ -102,13 +102,44 @@ def test_dedup_shares_x_matmuls():
 
 
 def test_dedup_scope_restores_global():
-    assert sampling._TAP_DEDUP is None
+    assert sampling._tap_dedup() is None
     with tap_dedup_scope():
-        assert sampling._TAP_DEDUP == {}
+        assert sampling._tap_dedup() == {}
         with tap_dedup_scope():
-            assert sampling._TAP_DEDUP == {}
-        assert sampling._TAP_DEDUP == {}
-    assert sampling._TAP_DEDUP is None
+            assert sampling._tap_dedup() == {}
+        assert sampling._tap_dedup() == {}
+    assert sampling._tap_dedup() is None
+
+
+def test_dedup_scope_is_context_local():
+    """Two threads tracing concurrently must not share a dedup dict
+    (advisor round-2 finding): each thread entering the scope sees its
+    own dict, and a thread that never entered sees None."""
+    import threading
+
+    results = {}
+
+    def worker(name, enter):
+        if enter:
+            with tap_dedup_scope():
+                sampling._tap_dedup()["k"] = name
+                import time
+
+                time.sleep(0.05)
+                results[name] = sampling._tap_dedup().get("k")
+        else:
+            results[name] = sampling._tap_dedup()
+
+    ts = [
+        threading.Thread(target=worker, args=("a", True)),
+        threading.Thread(target=worker, args=("b", True)),
+        threading.Thread(target=worker, args=("out", False)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert results == {"a": "a", "b": "b", "out": None}
 
 
 def test_dedup_nonperiodic_falls_back():
