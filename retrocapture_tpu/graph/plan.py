@@ -110,6 +110,11 @@ class CompiledPass:
     # detection and binding checks).
     sampler_names: tuple[str, ...]
     texture_calls: int = 0  # static texture() sites (diagnostic only)
+    # Conservative (token-level) temporal-uniform usage, detected on the
+    # preprocessed source: drives the fc-period batch grouping in
+    # runtime/engine. Over-approximation only disables an optimization.
+    uses_frame_count: bool = False
+    uses_time: bool = False
 
 
 @dataclass
@@ -134,6 +139,32 @@ class PresetProgram:
         return any(
             _FEEDBACK_RE.match(n) for cp in self.passes for n in cp.sampler_names
         )
+
+    def fc_period(self) -> "Optional[int]":
+        """Period m such that the chain's output depends on FrameCount
+        only through FrameCount % m, or None when unbounded.
+
+        The reference hands each pass `FrameCount % frame_count_modN`
+        (ShaderEngine.cpp:2095-2145), so when every FrameCount-consuming
+        pass declares a mod — and no pass consumes Time — the whole
+        chain is periodic in FrameCount with period lcm(mods). m == 1
+        means the chain is frame-count-free entirely. The engine uses
+        this to batch frames in period-groups with a CONCRETE FrameCount
+        per group position, which keeps time-dependent spatial fields
+        (e.g. ntsc-pass1's chroma-phase trig) batch-invariant under vmap
+        instead of recomputing them per frame."""
+        import math
+
+        m = 1
+        for cp in self.passes:
+            if cp.uses_time:
+                return None
+            if cp.uses_frame_count:
+                mod = self.preset.passes[cp.index].frame_count_mod
+                if not mod or mod <= 0:
+                    return None
+                m = math.lcm(m, int(mod))
+        return m
 
 
 class PresetCompileError(Exception):
@@ -207,6 +238,15 @@ def compile_preset(preset: Preset) -> PresetProgram:
         n_tex = len(
             re.findall(r"\b(?:texture2D|texture|texelFetch|textureLod)\s*\(", fsrc)
         )
+        # Temporal-uniform USAGE (not declaration): every slang-era GLSL
+        # shader declares `uniform int FrameCount;` in its boilerplate,
+        # so declaration lines (and layout/struct members) must be
+        # stripped before the token scan or the detector is always-true.
+        both = "\n".join(
+            ln
+            for ln in (vsrc + "\n" + fsrc).splitlines()
+            if not re.match(r"\s*(?:layout\s*\(.*\)\s*)?uniform\b", ln)
+        )
         cp = CompiledPass(
             index=i,
             vertex_eval=ShaderEval(vtu, "vertex"),
@@ -214,6 +254,10 @@ def compile_preset(preset: Preset) -> PresetProgram:
             parameters=fparams,
             sampler_names=tuple(samplers),
             texture_calls=n_tex,
+            uses_frame_count=bool(
+                re.search(r"\b(?:FrameCount|FRAMEINDEX|frame_count)\b", both)
+            ),
+            uses_time=bool(re.search(r"\b(?:TIME|Time|frame_time)\b", both)),
         )
         passes.append(cp)
         for p in fparams:

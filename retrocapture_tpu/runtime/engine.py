@@ -93,6 +93,12 @@ class Engine:
         self._viewport = viewport  # (W, H) or None → source size
         self._jit_cache: dict = {}
         self._states: dict = {}
+        # Host-side mirror of each state's frame_count (advances
+        # deterministically by the batch size per apply), so the
+        # fc-period group path can know frame_count % m at TRACE time
+        # without a device readback (a scalar readback through this
+        # relay costs a full ~28 ms RTT).
+        self._fc_hosts: dict = {}
         self._mesh = mesh  # jax.sharding.Mesh: batch over 'data' axis
         self._spatial = spatial  # additionally shard W over 'space'
         self._max_resolution: Optional[tuple[int, int]] = None
@@ -110,6 +116,7 @@ class Engine:
         extracted parameters (reference behavior, ShaderEngine.cpp:294)."""
         self._jit_cache.clear()
         self._states.clear()
+        self._fc_hosts.clear()
         self._custom_params.clear()
         self._lowering_failed = False
         self._param_const_fallback = False
@@ -136,6 +143,7 @@ class Engine:
         self.shader_active = False
         self._jit_cache.clear()
         self._states.clear()
+        self._fc_hosts.clear()
 
     # -- parameters -----------------------------------------------------
     def get_parameters(self) -> list[dict]:
@@ -254,9 +262,11 @@ class Engine:
         self._max_resolution = (int(width), int(height))
         self._jit_cache.clear()
         self._states.clear()
+        self._fc_hosts.clear()
 
     def reset_state(self) -> None:
         self._states.clear()
+        self._fc_hosts.clear()
 
     # -- state checkpoint/restore ----------------------------------------
     def save_state(self, path: str) -> None:
@@ -293,6 +303,7 @@ class Engine:
         data = np.load(_npz_path(path))
         meta = _json.loads(bytes(data["__meta__"]).decode())
         self._states.clear()
+        self._fc_hosts.clear()
         for ki, m in enumerate(meta):
             history = tuple(
                 jnp.asarray(data[f"s{ki}_h{j}"]) for j in range(m["n_history"])
@@ -307,6 +318,7 @@ class Engine:
                 time=jnp.asarray(data[f"s{ki}_tm"]),
             )
             self._states[tuple(m["key"])] = st
+            self._fc_hosts[tuple(m["key"])] = int(data[f"s{ki}_fc"])
 
     # -- application ----------------------------------------------------
     def apply(self, frames, output: str = "f32") -> jax.Array:
@@ -351,8 +363,27 @@ class Engine:
             fc_static = (
                 int(np.asarray(state.frame_count)) if _CONCRETE_FC else None
             )
-            fn = self._get_jit(key, u8=output == "u8", fc_static=fc_static)
             temporal = self._program.uses_history() or self._program.uses_feedback()
+            # fc-period batch grouping (graph.plan.fc_period): when the
+            # chain depends on FrameCount only through FrameCount % m,
+            # frames are processed in period-groups with a CONCRETE fc
+            # per group position, so fc-dependent spatial fields (e.g.
+            # ntsc chroma-phase trig) stay batch-invariant under vmap.
+            fc_group = None
+            nb_in = arr.shape[0]
+            if (
+                fc_static is None
+                and not temporal
+                and self._mesh is None
+                and nb_in > 1
+            ):
+                m = self._program.fc_period()
+                r0 = self._fc_hosts.get(key)
+                if m is not None and 1 <= m <= 8 and nb_in % m == 0 and r0 is not None:
+                    fc_group = (m, r0 % m)
+            fn = self._get_jit(
+                key, u8=output == "u8", fc_static=fc_static, fc_group=fc_group
+            )
             if self._mesh is not None and not temporal:
                 from retrocapture_tpu.parallel.mesh import shard_frames
 
@@ -378,12 +409,14 @@ class Engine:
             self._lowering_failed = True
             self._jit_cache.clear()
             self._states.clear()
+            self._fc_hosts.clear()
             src = self._to_rgba_float(arr)
             out = self._passthrough(src, vw, vh)[..., :3]
             if output == "u8":
                 out = _quantize_u8(out)
             return out if batched else out[0]
         self._states[key] = new_state
+        self._fc_hosts[key] = self._fc_hosts.get(key, 0) + nb_in
         return out if batched else out[0]
 
     def apply_streams(self, frames) -> jax.Array:
@@ -477,6 +510,7 @@ class Engine:
             self._lowering_failed = True
             self._jit_cache.clear()
             self._states.clear()
+            self._fc_hosts.clear()
             return self.apply_streams(arr)
         self._states[key] = new_state
         return out[..., :3]
@@ -585,6 +619,7 @@ class Engine:
             time=jnp.float32(0.0),
         )
         self._states[key] = st
+        self._fc_hosts[key] = 0
         return st
 
     def _clamped_source(self, w: int, h: int) -> tuple[int, int]:
@@ -605,8 +640,8 @@ class Engine:
             pw = int(round(mh * aspect))
         return max((pw // 2) * 2, 2), max((ph // 2) * 2, 2)
 
-    def _get_jit(self, key, u8: bool = False, fc_static=None):
-        cache_key = (key, u8, self._effective_param_mode(), fc_static)
+    def _get_jit(self, key, u8: bool = False, fc_static=None, fc_group=None):
+        cache_key = (key, u8, self._effective_param_mode(), fc_static, fc_group)
         fn = self._jit_cache.get(cache_key)
         if fn is not None:
             return fn
@@ -712,6 +747,54 @@ class Engine:
                 return outs, _ChainState(
                     hist,
                     fb,
+                    state.frame_count + nb,
+                    state.time + jnp.float32(0.016) * nb,
+                )
+
+        elif fc_group is not None:
+            # fc-period grouped batch (graph.plan.fc_period): the chain
+            # depends on FrameCount only through FrameCount % m (every
+            # fc-consuming pass declares frame_count_modN and no pass
+            # reads Time — ShaderEngine.cpp:2095-2145 semantics), and
+            # the batch is a whole number of periods. Frame i's fc mod m
+            # is (r0 + i) % m, so the batch splits into m POSITIONS each
+            # holding nb/m frames with ONE concrete fc value. Concrete fc
+            # lets fc-dependent spatial fields (ntsc chroma-phase trig,
+            # scanline phase) fold to trace-time constants shared across
+            # the group's vmap axis instead of being recomputed per
+            # frame — the ntsc pass0 "4x its math" plumbing tax was this.
+            m_p, r0 = fc_group
+
+            def batch_fn(raw_b, state: _ChainState, pvals=None):
+                src_b = normalize(raw_b)
+                nb = src_b.shape[0]
+                g = nb // m_p
+                grouped = src_b.reshape((g, m_p) + src_b.shape[1:])
+
+                def one(src, fc):
+                    out, _, _ = single(
+                        src,
+                        state.history,
+                        state.feedback,
+                        fc,
+                        np.float32(0.0),  # fc_period proved Time unused
+                        pvals,
+                        blit=False,
+                    )
+                    return out
+
+                pos = [
+                    jax.vmap(lambda s, _fc=np.int32((r0 + p) % m_p): one(s, _fc))(
+                        grouped[:, p]
+                    )
+                    for p in range(m_p)
+                ]
+                outs = jnp.stack(pos, axis=1)
+                outs = outs.reshape((nb,) + outs.shape[2:])
+                outs = finalize(outs[..., :3])
+                return outs, _ChainState(
+                    state.history,
+                    state.feedback,
                     state.frame_count + nb,
                     state.time + jnp.float32(0.016) * nb,
                 )

@@ -361,3 +361,43 @@ def test_apply_u8_device_output():
     assert u8.dtype == jnp.uint8
     ref = np.round(np.clip(f32, 0, 1) * 255.0).astype(np.int32)
     assert np.abs(np.asarray(u8).astype(np.int32) - ref).max() <= 1
+
+
+def test_fc_period_detection():
+    """fc_period: declaration-stripped usage scan + lcm of declared mods
+    (ShaderEngine.cpp:2095-2145 hands each pass FrameCount %
+    frame_count_modN, so a chain whose every fc-consuming pass declares a
+    mod is periodic)."""
+    from retrocapture_tpu.graph.plan import compile_preset
+    from retrocapture_tpu.presets.glslp import Preset
+
+    cases = {
+        "ntsc/ntsc-320px.glslp": 2,  # pass0 mod 2, pass1 fc-free
+        "crt/crt-mattias.glslp": None,  # uses FrameCount, no mod
+        "xbr/xbr-lv2.glslp": 1,  # declares but never reads FrameCount
+    }
+    for name, want in cases.items():
+        prog = compile_preset(Preset.load(SH + name))
+        assert prog.fc_period() == want, name
+
+
+def test_fc_grouped_batch_matches_ungrouped():
+    """The fc-period grouped batch path (concrete FrameCount per period
+    position, vmap over groups) is bit-identical to the per-frame
+    traced-fc path, across consecutive applies."""
+    rng = np.random.default_rng(7)
+    frames = (rng.random((4, 48, 64, 3)) * 255).astype(np.uint8)
+
+    e1 = Engine(viewport=(128, 96))
+    assert e1.load_preset(SH + "ntsc/ntsc-320px.glslp"), e1.last_error
+    e2 = Engine(viewport=(128, 96))
+    assert e2.load_preset(SH + "ntsc/ntsc-320px.glslp"), e2.last_error
+    e2._program.fc_period = lambda: None  # force the ungrouped path
+
+    for _ in range(2):
+        g = np.asarray(e1.apply(frames, output="u8"))
+        u = np.asarray(e2.apply(frames, output="u8"))
+        assert np.array_equal(g, u)
+    # Odd batch: grouping must bypass cleanly (nb % m != 0).
+    odd = np.asarray(e1.apply(frames[:3], output="u8"))
+    assert odd.shape == (3, 96, 128, 3)
