@@ -117,23 +117,29 @@ def blur_groups_fits(tex_shape, out_shape, groups) -> bool:
     """Static feasibility: VMEM-resident texture; each channel's tap
     window (tile source span + tap spread + warp bend slack) within one
     128-lane rotated window; row window within the KB-row band."""
+    import os
+
     h, w, c = tex_shape
     oh, ow = out_shape
     hp = ((h + 7) // 8) * 8
     wp = ((w + 2 * TX - 1) // (2 * TX)) * (2 * TX)
     if hp * wp * c * 4 > _VMEM_TEX_BYTES:
         return False
-    plan = _static_plan(groups, w, h)
-    # x: tile source span (with curvature slack x1.3) + tau spread must
-    # fit the rotated TX-lane window
-    span = TX * (w / ow) * 1.3 + 4
-    descent = TY * (h / oh) * 1.3 + 3
-    for ch, p in plan.items():
-        if span + (p["tmax"] - p["tmin"]) > TX - 8:
+    if os.environ.get("RCTPU_BLUR", "v2") != "v1":
+        if _static_plan_v2(groups, w, h, oh, ow) is None:
             return False
-        # y: tap row window + tile descent (TY rows with slack) + bend
-        if (p["mmax"] - p["mmin"]) + descent > p["kb"] - 1:
-            return False
+    else:
+        plan = _static_plan(groups, w, h)
+        # x: tile source span (with curvature slack x1.3) + tau spread
+        # must fit the rotated TX-lane window
+        span = TX * (w / ow) * 1.3 + 4
+        descent = TY * (h / oh) * 1.3 + 3
+        for ch, p in plan.items():
+            if span + (p["tmax"] - p["tmin"]) > TX - 8:
+                return False
+            # y: tap row window + tile descent (TY rows + slack) + bend
+            if (p["mmax"] - p["mmin"]) + descent > p["kb"] - 1:
+                return False
     try:
         platform = jax.devices()[0].platform
     except Exception:  # noqa: BLE001
@@ -148,19 +154,31 @@ def blur5x5_groups(tex, u, v, groups, *, interpret: bool = False):
     vmap-native: batching `tex` (u/v shared) lowers to ONE Mosaic program
     with a leading batch grid dimension instead of jax's generic
     pallas_call batching rule — measured 324 ms vs ~6 ms per batch of 16
-    at 1080p (the round-2 crt-mattias bottleneck)."""
+    at 1080p (the round-2 crt-mattias bottleneck).
+
+    Two formulations, RCTPU_BLUR=v1|v2 (default v2, chip-A/B'd):
+    v1 = shared per-channel band + dense [kb, TX] one-hot/rank-2 masks;
+    v2 = per-GROUP narrow row windows + exact 5x5 weights + saturating
+    clip-hat tau routing (see _blur_groups_call_v2)."""
+    import os
+
     chans = sorted({g.channel for g in groups})
+    call = (
+        _blur_groups_call
+        if os.environ.get("RCTPU_BLUR", "v2") == "v1"
+        else _blur_groups_call_v2
+    )
 
     @jax.custom_batching.custom_vmap
     def run(tex_, u_, v_):
-        outs = _blur_groups_call(tex_, u_, v_, groups, interpret, batch=None)
+        outs = call(tex_, u_, v_, groups, interpret, batch=None)
         return tuple(outs)
 
     @run.def_vmap
     def _rule(axis_size, in_batched, tex_, u_, v_):  # noqa: ANN001
         tex_b, u_b, v_b = in_batched
         if tex_b and not u_b and not v_b:
-            outs = _blur_groups_call(tex_, u_, v_, groups, interpret, batch=axis_size)
+            outs = call(tex_, u_, v_, groups, interpret, batch=axis_size)
             return tuple(outs), tuple(True for _ in outs)
         # Fallback: sequential map (still one program per frame).
         outs = jax.lax.map(
@@ -357,6 +375,250 @@ def _blur_groups_call(tex, u, v, groups, interpret: bool, batch):
     else:
         # Batch rides the OUTERMOST grid dim: the (hp, c, wp) texture
         # block re-DMAs only when b changes; u/v tiles are shared.
+        grid = (batch, hop // TY, wop // TX)
+        uv_spec = pl.BlockSpec(
+            (TY, TX), lambda b, i, j: (i, j), memory_space=pltpu.VMEM
+        )
+        tex_spec = pl.BlockSpec(
+            (None, hp, c, wp), lambda b, i, j: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (None, TY, TX), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((batch, hop, wop), jnp.float32) for _ in chans
+        ]
+    planes = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[uv_spec, uv_spec, tex_spec],
+        out_specs=[out_spec for _ in chans],
+        interpret=interpret,
+    )(u, v, tex3)
+    if wop != wo or hop != ho:
+        planes = [pl_[..., :ho, :wo] for pl_ in planes]
+    return list(planes)
+
+
+# ---------------------------------------------------------------------------
+# v2: per-group narrow row windows + exact 5x5 weights
+#
+# The v1 kernel pays dense [kb=24, TX] mask arithmetic (rank-2 psi/ws
+# accumulation) and 22 taus x kb lane-gather instructions PER OUTPUT ROW
+# per channel. v2 restructures around three observations, chip-profiled
+# on crt-mattias (the only registered user):
+#
+#   1. Each blur group's y-taps span only 3-8 source rows (+ tile
+#      descent + bend) — a per-GROUP [R_g, TX] window (R_g = 8..16) read
+#      straight from the VMEM-resident texture with a dynamic row base
+#      replaces the shared kb=24 band, shrinking every downstream vector
+#      op 1.5-3x.
+#   2. The per-row tap columns drift at most +-1 texel across a TY=8
+#      row tile (crt-mattias has no per-row x jitter in the blur coords;
+#      only the curvature bend moves u with y). Gathers therefore run
+#      ONCE PER TILE against row 0's column base, and each x-tap routes
+#      to tau candidates {tlo-1..tlo+2} with SATURATING clip-hats: the
+#      hats are exact 0/1 indicators of integer rel = ti - c0_ref - tlo,
+#      and at texture edges the saturated candidate's clamped gather
+#      column coincides with the clamped tap column (same argument as
+#      v1's 2-candidate split), so routing stays bit-exact per tap.
+#   3. The weight routing (hats, om accumulation) is identical across
+#      the tile's 8 output rows — computed ONCE on [TY, TX] vregs and
+#      sliced per row, where v1 recomputed [1, TX] work per row (a
+#      [1, TX] op costs a full vreg slot).
+#
+# v2 also applies the EXACT 5x5 weights per (y-tap j, tau) instead of
+# v1's rank-2 SVD factorization (residual ~1e-4) — strictly closer to
+# the evaluator. Selected by RCTPU_BLUR (default v2).
+
+
+def _static_plan_v2(groups, w, h, oh, ow):
+    """Per-group static plan: tap bases, tau sets (+-1/+2 routing
+    margin), and the narrow row-window height R. Returns None when any
+    group's geometry cannot satisfy the window invariants (caller falls
+    back / rejects via blur_groups_fits)."""
+    descent = int(np.ceil(TY * (h / oh) * 1.3)) + 1
+    span = TX * (w / ow) * 1.3 + 4
+    plan = []
+    for g in groups:
+        w32 = (g.weights * g.scale).astype(np.float32)
+        xi = []
+        for xo in g.xo:
+            c = (np.float32(g.bx) + np.float32(xo)) * np.float32(w)
+            xi.append((int(np.floor(c)), np.float32(xo)))
+        yj = []
+        for yo in g.yo:
+            c = (np.float32(g.by) + np.float32(yo)) * np.float32(h)
+            yj.append((int(np.floor(c)), np.float32(yo)))
+        taus = sorted({t + k for t, _ in xi for k in (-1, 0, 1, 2)})
+        slos = [s for s, _ in yj]
+        win = (max(slos) + 1) - min(slos) + 1
+        r_g = ((win + descent + 3 + 7) // 8) * 8
+        if r_g > _KB_CAP:
+            return None
+        # Rotated-window coverage: tile source span + routed tau spread.
+        if span + (taus[-1] - taus[0]) > TX - 8:
+            return None
+        plan.append(
+            {
+                "g": g,
+                "w32": w32,
+                "xi": xi,
+                "yj": yj,
+                "taus": taus,
+                "tmin": taus[0],
+                "R": r_g,
+                "slo_min": min(slos),
+            }
+        )
+    return plan
+
+
+def _blur_groups_call_v2(tex, u, v, groups, interpret: bool, batch):
+    """v2 Mosaic program (see module comment). Same interface as
+    _blur_groups_call."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if batch is None:
+        h, w, c = tex.shape
+    else:
+        _, h, w, c = tex.shape
+    u = jnp.asarray(u, jnp.float32)
+    v = jnp.asarray(v, jnp.float32)
+    ho, wo = u.shape
+    plan = _static_plan_v2(groups, w, h, ho, wo)
+    assert plan is not None, "blur_groups_fits must gate v2 feasibility"
+    chans = sorted({g.channel for g in groups})
+
+    max_r = max(p["R"] for p in plan)
+    hp = max(((h + 7) // 8) * 8, max_r)
+    wp = max(((w + 2 * TX - 1) // (2 * TX)) * (2 * TX), 2 * TX)
+    if batch is None:
+        tex3 = jnp.transpose(tex.astype(jnp.float32), (0, 2, 1))  # [H, C, W]
+        if hp != h or wp != w:
+            tex3 = jnp.pad(tex3, ((0, hp - h), (0, 0), (0, wp - w)), mode="edge")
+    else:
+        tex3 = jnp.transpose(tex.astype(jnp.float32), (0, 1, 3, 2))
+        if hp != h or wp != w:
+            tex3 = jnp.pad(
+                tex3, ((0, 0), (0, hp - h), (0, 0), (0, wp - w)), mode="edge"
+            )
+
+    wop = ((wo + TX - 1) // TX) * TX
+    hop = ((ho + TY - 1) // TY) * TY
+    if wop != wo or hop != ho:
+        u = jnp.pad(u, ((0, hop - ho), (0, wop - wo)), mode="edge")
+        v = jnp.pad(v, ((0, hop - ho), (0, wop - wo)), mode="edge")
+
+    fw = np.float32(w)
+    fh = np.float32(h)
+
+    def kernel(u_ref, v_ref, tex_ref, *out_refs):
+        uu = u_ref[:].astype(jnp.float32)  # [TY, TX]
+        vv = v_ref[:].astype(jnp.float32)
+        c0_all = jnp.floor(uu * fw).astype(jnp.int32)  # [TY, TX]
+        c0_ref = c0_all[0:1, :]  # row-0 column base, shared per tile
+
+        # ---- per-(channel, group) tile precompute --------------------
+        pre = []  # (channel, taps W_t dict, om[j][t] [TY,TX], rel_j)
+        for p in plan:
+            g = p["g"]
+            ch = g.channel
+            r_g = p["R"]
+            ug = uu + np.float32(g.bx)
+            vg = vv + np.float32(g.by)
+
+            # y: per-tap rows + scalar window base (1-row fuzz margin).
+            drs = [
+                jnp.clip(
+                    jnp.floor((vg + yoff) * fh).astype(jnp.int32), 0, h - 1
+                )
+                for _, yoff in p["yj"]
+            ]
+            m0 = jnp.clip(jnp.min(drs[0]) - 1, 0, hp - r_g)
+            rels = [dr - m0 for dr in drs]  # [TY, TX] ints in [0, R)
+
+            # x: rotated [R, TX] window straight from the texture.
+            xlo = jnp.min(jnp.clip(c0_all + p["tmin"], 0, w - 1))
+            xs0 = pl.multiple_of((xlo // TX) * TX, TX)
+            xs1 = pl.multiple_of(jnp.minimum(xs0 + TX, wp - TX), TX)
+            b0 = tex_ref[pl.ds(m0, r_g), ch, pl.ds(xs0, TX)]
+            b1 = tex_ref[pl.ds(m0, r_g), ch, pl.ds(xs1, TX)]
+            win = pltpu.roll(jnp.concatenate([b0, b1], axis=1), -(xlo - xs0), 1)[
+                :, :TX
+            ]
+
+            # One lane-gather per tau, shared by the whole tile.
+            taps = {}
+            for t in p["taus"]:
+                idx = jnp.clip(jnp.clip(c0_ref + t, 0, w - 1) - xlo, 0, TX - 1)
+                taps[t] = jnp.take_along_axis(
+                    win, jnp.broadcast_to(idx, (r_g, TX)), axis=1
+                )
+
+            # Saturating clip-hat routing of each x-tap to 4 tau
+            # candidates, exact-indicator for integer rel (see header).
+            hats = []  # per i: {k: [TY, TX]}
+            for tlo, xoff in p["xi"]:
+                ti = jnp.clip(
+                    jnp.floor((ug + xoff) * fw).astype(jnp.int32), 0, w - 1
+                )
+                rel = (ti - c0_ref - tlo).astype(jnp.float32)
+                # h_k = [rel == k], saturating at both ends (rel < -1
+                # routes to k=-1, rel > 2 to k=2 — edge-clamp exactness
+                # per the module comment).
+                t1 = jnp.clip(rel + 1.0, 0.0, 1.0)
+                t2 = jnp.clip(rel, 0.0, 1.0)
+                t3 = jnp.clip(rel - 1.0, 0.0, 1.0)
+                hats.append({-1: 1.0 - t1, 0: t1 - t2, 1: t2 - t3, 2: t3})
+
+            # om[j][tau]: exact-weight x-row per y-tap, [TY, TX].
+            oms = []
+            for j in range(len(p["yj"])):
+                om = {}
+                for i, (tlo, _) in enumerate(p["xi"]):
+                    wji = p["w32"][j][i]
+                    for k, hat in hats[i].items():
+                        t = tlo + k
+                        term = hat * wji
+                        om[t] = term if t not in om else om[t] + term
+                oms.append(om)
+            pre.append((ch, r_g, taps, oms, rels))
+
+        # ---- per-row contraction (rows statically unrolled) ----------
+        for r in range(TY):
+            accs = {ch: None for ch in chans}
+            for ch, r_g, taps, oms, rels in pre:
+                iok = jax.lax.broadcasted_iota(jnp.int32, (r_g, TX), 0)
+                ohs = [
+                    (iok == rel[r : r + 1, :]).astype(jnp.float32)
+                    for rel in rels
+                ]
+                for t, wt in taps.items():
+                    m_t = None
+                    for j, om in enumerate(oms):
+                        if t not in om:
+                            continue
+                        term = ohs[j] * om[t][r : r + 1, :]
+                        m_t = term if m_t is None else m_t + term
+                    if m_t is None:
+                        continue
+                    val = jnp.sum(wt * m_t, axis=0, keepdims=True)
+                    accs[ch] = val if accs[ch] is None else accs[ch] + val
+            for oi, ch in enumerate(chans):
+                out_refs[oi][r : r + 1, :] = accs[ch]
+
+    if batch is None:
+        grid = (hop // TY, wop // TX)
+        uv_spec = pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        tex_spec = pl.BlockSpec(
+            (hp, c, wp), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec((TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((hop, wop), jnp.float32) for _ in chans]
+    else:
         grid = (batch, hop // TY, wop // TX)
         uv_spec = pl.BlockSpec(
             (TY, TX), lambda b, i, j: (i, j), memory_space=pltpu.VMEM

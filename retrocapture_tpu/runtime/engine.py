@@ -372,14 +372,18 @@ class Engine:
             fc_group = None
             nb_in = arr.shape[0]
             if (
-                fc_static is None
+                _FC_GROUP
+                and fc_static is None
                 and not temporal
                 and self._mesh is None
                 and nb_in > 1
             ):
                 m = self._program.fc_period()
                 r0 = self._fc_hosts.get(key)
-                if m is not None and 1 <= m <= 8 and nb_in % m == 0 and r0 is not None:
+                # m == 1 means the chain is fc-free: grouping would add
+                # interleave copies (and a fresh program identity) for
+                # zero benefit, so only periods >= 2 group.
+                if m is not None and 2 <= m <= 8 and nb_in % m == 0 and r0 is not None:
                     fc_group = (m, r0 % m)
             fn = self._get_jit(
                 key, u8=output == "u8", fc_static=fc_static, fc_group=fc_group
@@ -1173,6 +1177,9 @@ def _quad_transform(v_globals, ow: int, oh: int):
 
 _GL_INTERP = os.environ.get("RCTPU_GL_INTERP", "1") != "0"
 _CONCRETE_FC = os.environ.get("RCTPU_CONCRETE_FC", "0") == "1"
+# fc-period batch grouping (bit-identical; RCTPU_FC_GROUP=0 disables
+# for on-chip A/Bs of the grouped-vs-per-frame lowering).
+_FC_GROUP = os.environ.get("RCTPU_FC_GROUP", "1") != "0"
 
 
 def _plane_setup_f32_pos(p0, p1, p2, a0v, a1v, a2v):

@@ -21,13 +21,18 @@ def _mattias_groups(ow, oh):
     return groups
 
 
-def _ref_planes(texn, uv_u, uv_v, groups, h, w):
+def _ref_planes(texn, uv_u, uv_v, groups, h, w, *, rank2: bool):
+    """NumPy float64 reference. rank2=True mirrors the v1 kernel's SVD
+    weight factorization; rank2=False uses the exact 5x5 weights (v2)."""
     from retrocapture_tpu.ops.pallas.blur_groups import _rank2
 
     out = {}
     for g in groups:
-        facs, _ = _rank2(g.weights * g.scale)
-        w2 = sum(np.outer(ay, ax) for ax, ay in facs)
+        if rank2:
+            facs, _ = _rank2(g.weights * g.scale)
+            w2 = sum(np.outer(ay, ax) for ax, ay in facs)
+        else:
+            w2 = (g.weights * g.scale).astype(np.float32)
         ug = (uv_u + np.float32(g.bx)).astype(np.float32)
         vg = (uv_v + np.float32(g.by)).astype(np.float32)
         acc = out.setdefault(g.channel, np.zeros(uv_u.shape, np.float64))
@@ -45,12 +50,14 @@ def _ref_planes(texn, uv_u, uv_v, groups, h, w):
     return out
 
 
-def test_blur_groups_matches_reference_interpret():
+@pytest.mark.parametrize("formulation", ["v1", "v2"])
+def test_blur_groups_matches_reference_interpret(formulation, monkeypatch):
     import jax.numpy as jnp
 
     from retrocapture_tpu.graph.kernels import _mattias_curve
     from retrocapture_tpu.ops.pallas.blur_groups import blur5x5_groups
 
+    monkeypatch.setenv("RCTPU_BLUR", formulation)
     h, w = 60, 80
     oh, ow = 128, 256  # small but still multi-tile
     rng = np.random.default_rng(11)
@@ -67,7 +74,9 @@ def test_blur_groups_matches_reference_interpret():
         jnp.asarray(texn), jnp.asarray(uv_u), jnp.asarray(uv_v), groups,
         interpret=True,
     )
-    ref = _ref_planes(texn, uv_u, uv_v, groups, h, w)
+    ref = _ref_planes(
+        texn, uv_u, uv_v, groups, h, w, rank2=formulation == "v1"
+    )
     for ch in (0, 1, 2):
         d = np.abs(np.asarray(planes[ch]).astype(np.float64) - ref[ch])
         # Sub-ULP tap-coordinate boundaries ((u+offset)*W landing exactly
@@ -76,7 +85,7 @@ def test_blur_groups_matches_reference_interpret():
         # pixels, the same variability real GL rasterizers exhibit.
         # Require exactness away from boundaries and rarity at them.
         bad = (d > 1e-5).mean()
-        assert bad < 5e-4, f"channel {ch}: {bad:.2%} pixels differ"
+        assert bad < 5e-4, f"{formulation} channel {ch}: {bad:.2%} pixels differ"
 
 
 def test_blur_groups_fits_static_checks():

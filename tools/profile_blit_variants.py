@@ -91,6 +91,7 @@ def split_hi_lo(a):
     return hi, a - hi
 
 
+@jax.jit
 def v0(t):
     from retrocapture_tpu.ops.pallas.resample import blit_u8
 
@@ -219,9 +220,9 @@ def _wfloor(tex):
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(t_ref, *outs):
-        v = t_ref[0, 0]
+        v = (t_ref[0, 0] * 0.0 + 37.0).astype(jnp.int32).astype(jnp.uint8)
         for o in outs:
-            o[:] = jnp.full_like(o[:], v.astype(jnp.uint8))
+            o[:] = jnp.full_like(o[:], v)
 
     TR = 128
     grid = (VH * TR // TR // TR + (1 if (1080 % TR) else 0),)
