@@ -335,6 +335,7 @@ class PassContext:
         frame_count,
         frame_time,
         params: dict[str, Any],
+        lut_data: "Optional[dict[str, Any]]" = None,
     ):
         self.program = program
         self.i = pass_index
@@ -349,6 +350,13 @@ class PassContext:
         self.frame_count = frame_count
         self.frame_time = frame_time
         self.params = params
+        # Device-resident LUT arrays threaded as jit ARGUMENTS by the
+        # engine (None → fall back to embedding lut.data as a trace
+        # constant, fine for the CPU oracle/tools). Embedded constants
+        # become StableHLO literals: iq-canyon's four 1024x1024 LUTs
+        # inflated its program to 102 MB of HLO and an 11.4 GB TPU
+        # executable (timeout_tpu_r2.json crash).
+        self.lut_data = lut_data
         sh = shapes[pass_index]
         self.in_size = (sh.in_w, sh.in_h)
         self.out_size = (sh.out_w, sh.out_h)
@@ -383,8 +391,11 @@ class PassContext:
             lut = prog.luts[name]
             import jax.numpy as jnp
 
+            data = None if self.lut_data is None else self.lut_data.get(name)
+            if data is None:
+                data = jnp.asarray(lut.data)
             return TexBinding(
-                jnp.asarray(lut.data), lut.linear, lut.wrap_mode, lut.mipmap,
+                data, lut.linear, lut.wrap_mode, lut.mipmap,
                 quantized=True,  # PNG bytes / 255 (see _load_lut)
             )
         if name in self._alias_to_pass:

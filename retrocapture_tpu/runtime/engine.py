@@ -106,6 +106,7 @@ class Engine:
         self._param_const_fallback = False  # traced lowering failed once
         self._input_format = "rgb"  # rgb | nv12 | yuyv | uyvy
         self._lowering_failed = False
+        self._lut_dev_cache = None  # (program, device LUT tuple)
         self.shader_active = False
         self.last_error: Optional[str] = None
 
@@ -120,6 +121,7 @@ class Engine:
         self._custom_params.clear()
         self._lowering_failed = False
         self._param_const_fallback = False
+        self._lut_dev_cache = None
         try:
             if str(path).endswith(".glsl"):
                 preset = Preset.loads(f"shaders = 1\nshader0 = {path}\n", path=str(path))
@@ -140,6 +142,7 @@ class Engine:
     def unload(self) -> None:
         self._program = None
         self._preset = None
+        self._lut_dev_cache = None
         self.shader_active = False
         self._jit_cache.clear()
         self._states.clear()
@@ -659,6 +662,14 @@ class Engine:
         params = dict(prog.defaults)
         params.update(self._custom_params)
         temporal = prog.uses_history() or prog.uses_feedback()
+        # LUT textures enter the jit as ARGUMENTS, not closure constants:
+        # a closed-over array becomes a StableHLO literal, and iq-canyon's
+        # four 1024x1024 RGBA LUTs inflated its program to 102 MB of HLO
+        # and an 11.4 GB serialized TPU executable (timeout_tpu_r2.json).
+        # lut_cell is a trace-time cell in the src_quant[0] pattern: the
+        # outer wrapper stores the traced lut dict before calling inner.
+        lut_names = sorted(prog.luts) if prog.luts else []
+        lut_cell = [None]
 
         def finalize(outs_b):
             """Batched viewport blit + output packing. The u8 path fuses
@@ -700,6 +711,7 @@ class Engine:
                 blit=blit,
                 allow_factored=allow_factored,
                 source_quantized=src_quant[0],
+                lut_data=lut_cell[0],
             )
 
         def normalize(raw_b):
@@ -870,6 +882,20 @@ class Engine:
             def batch_fn(raw_b, state, pvals):  # noqa: F811
                 return inner_fn(raw_b, state, pvals)
 
+        if lut_names:
+            inner_lut_fn = batch_fn
+            if traced_params:
+
+                def batch_fn(raw_b, state, pvals, lut_vals):  # noqa: F811
+                    lut_cell[0] = dict(zip(lut_names, lut_vals))
+                    return inner_lut_fn(raw_b, state, pvals)
+
+            else:
+
+                def batch_fn(raw_b, state, lut_vals):  # noqa: F811
+                    lut_cell[0] = dict(zip(lut_names, lut_vals))
+                    return inner_lut_fn(raw_b, state)
+
         if self._mesh is not None and not temporal and not u8:
             # Data-parallel over the mesh: frames shard over 'data' (and
             # optionally W over 'space'); temporal-state scalars replicate.
@@ -881,11 +907,37 @@ class Engine:
             in_sh = (fs, state_sh)
             if traced_params:
                 in_sh = in_sh + ({k: rep for k in params},)
+            if lut_names:
+                in_sh = in_sh + (tuple(rep for _ in lut_names),)
             fn = jax.jit(batch_fn, in_shardings=in_sh, out_shardings=(fs, state_sh))
         else:
             fn = jax.jit(batch_fn)
+        if lut_names:
+            # Callers keep the (frames, state[, pvals]) signature; the
+            # wrapper appends the device-resident LUT tuple per call.
+            jfn = fn
+            lut_dev = self._lut_device_arrays(lut_names)
+            if traced_params:
+                fn = lambda r, s, p, _j=jfn, _l=lut_dev: _j(r, s, p, _l)  # noqa: E731
+            else:
+                fn = lambda r, s, _j=jfn, _l=lut_dev: _j(r, s, _l)  # noqa: E731
         self._jit_cache[cache_key] = fn
         return fn
+
+    def _lut_device_arrays(self, lut_names):
+        """Device-put each LUT once per (engine, program); reused by every
+        jit key so repeated apply() calls transfer nothing."""
+        cache = self._lut_dev_cache
+        if cache is not None and cache[0] is self._program:
+            return cache[1]
+        import numpy as _np
+
+        vals = tuple(
+            jax.device_put(_np.asarray(self._program.luts[n].data))
+            for n in lut_names
+        )
+        self._lut_dev_cache = (self._program, vals)
+        return vals
 
     def _state_proto(self, key):
         """A structural skeleton of the chain state for sharding trees."""
@@ -951,6 +1003,7 @@ def _run_chain_impl(
     blit: bool = True,
     allow_factored: bool = True,
     source_quantized: bool = False,
+    lut_data=None,
 ):
     """Execute every pass of a compiled preset for one frame. FrameCount
     increments once per frame, not per pass (ShaderEngine.cpp:1685-1689);
@@ -1017,6 +1070,7 @@ def _run_chain_impl(
                 k: (np.float32(v) if isinstance(v, (int, float, np.generic)) else v)
                 for k, v in params.items()
             },
+            lut_data=lut_data,
         )
         ctx.allow_factored = allow_factored
         color = _run_pass(cp, ctx, sh)
