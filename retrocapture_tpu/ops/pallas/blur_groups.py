@@ -163,11 +163,22 @@ def blur5x5_groups(tex, u, v, groups, *, interpret: bool = False):
     import os
 
     chans = sorted({g.channel for g in groups})
-    call = (
-        _blur_groups_call
-        if os.environ.get("RCTPU_BLUR", "v2") == "v1"
-        else _blur_groups_call_v2
-    )
+    mode = os.environ.get("RCTPU_BLUR", "v2")
+    if mode == "v1":
+        call = _blur_groups_call
+    elif mode == "v3":
+        # Rejected on measurement (kept for re-probing): bf16 row-loop
+        # arithmetic hoping [16, 128] bf16 vregs halve the mask/FMA op
+        # count. Chip A/B 2026-08-19: v2 7.66 ms/f, v3 13.38 ms/f — the
+        # narrow/widen converts around the f32 gather (Mosaic's
+        # dynamic_gather requires matching value/index bitwidths, so the
+        # gather can't stay bf16) cost more than the packing saves.
+        def call(tex_, u_, v_, groups_, interpret_, batch):
+            return _blur_groups_call_v2(
+                tex_, u_, v_, groups_, interpret_, batch, bf16=True
+            )
+    else:
+        call = _blur_groups_call_v2
 
     @jax.custom_batching.custom_vmap
     def run(tex_, u_, v_):
@@ -475,9 +486,11 @@ def _static_plan_v2(groups, w, h, oh, ow):
     return plan
 
 
-def _blur_groups_call_v2(tex, u, v, groups, interpret: bool, batch):
+def _blur_groups_call_v2(tex, u, v, groups, interpret: bool, batch, bf16=False):
     """v2 Mosaic program (see module comment). Same interface as
-    _blur_groups_call."""
+    _blur_groups_call. bf16=True (v3) runs the window, gathers, and the
+    row-loop mask/FMA arithmetic in bfloat16 — (16, 128) bf16 tiles pack
+    two sublane rows per vreg, halving the dominant vector-op count."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -515,6 +528,8 @@ def _blur_groups_call_v2(tex, u, v, groups, interpret: bool, batch):
     fw = np.float32(w)
     fh = np.float32(h)
 
+    acc_t = jnp.bfloat16 if bf16 else jnp.float32
+
     def kernel(u_ref, v_ref, tex_ref, *out_refs):
         uu = u_ref[:].astype(jnp.float32)  # [TY, TX]
         vv = v_ref[:].astype(jnp.float32)
@@ -550,13 +565,18 @@ def _blur_groups_call_v2(tex, u, v, groups, interpret: bool, batch):
                 :, :TX
             ]
 
-            # One lane-gather per tau, shared by the whole tile.
+            # One lane-gather per tau, shared by the whole tile. Mosaic's
+            # tpu.dynamic_gather requires matching value/index bitwidths,
+            # so the gather itself stays f32 even in bf16 mode; taps are
+            # narrowed after.
             taps = {}
             for t in p["taus"]:
                 idx = jnp.clip(jnp.clip(c0_ref + t, 0, w - 1) - xlo, 0, TX - 1)
                 taps[t] = jnp.take_along_axis(
                     win, jnp.broadcast_to(idx, (r_g, TX)), axis=1
                 )
+            if bf16:
+                taps = {t: x.astype(jnp.bfloat16) for t, x in taps.items()}
 
             # Saturating clip-hat routing of each x-tap to 4 tau
             # candidates, exact-indicator for integer rel (see header).
@@ -584,6 +604,8 @@ def _blur_groups_call_v2(tex, u, v, groups, interpret: bool, batch):
                         t = tlo + k
                         term = hat * wji
                         om[t] = term if t not in om else om[t] + term
+                if bf16:
+                    om = {t: x.astype(jnp.bfloat16) for t, x in om.items()}
                 oms.append(om)
             pre.append((ch, r_g, taps, oms, rels))
 
@@ -593,7 +615,7 @@ def _blur_groups_call_v2(tex, u, v, groups, interpret: bool, batch):
             for ch, r_g, taps, oms, rels in pre:
                 iok = jax.lax.broadcasted_iota(jnp.int32, (r_g, TX), 0)
                 ohs = [
-                    (iok == rel[r : r + 1, :]).astype(jnp.float32)
+                    (iok == rel[r : r + 1, :]).astype(acc_t)
                     for rel in rels
                 ]
                 for t, wt in taps.items():
@@ -605,7 +627,13 @@ def _blur_groups_call_v2(tex, u, v, groups, interpret: bool, batch):
                         m_t = term if m_t is None else m_t + term
                     if m_t is None:
                         continue
-                    val = jnp.sum(wt * m_t, axis=0, keepdims=True)
+                    # bf16: the [r_g, TX] product and row-reduce stay
+                    # packed; only the [1, TX] result widens. Most band
+                    # rows are exact bf16 zeros (one-hot misses), so the
+                    # reduce error is a few ulps of the 2-3 live terms.
+                    val = jnp.sum(wt * m_t, axis=0, keepdims=True).astype(
+                        jnp.float32
+                    )
                     accs[ch] = val if accs[ch] is None else accs[ch] + val
             for oi, ch in enumerate(chans):
                 out_refs[oi][r : r + 1, :] = accs[ch]

@@ -72,7 +72,13 @@ def build(which):
     cu, cv = _mattias_curve(xg.astype(np.float32), yg.astype(np.float32))
     uv_u = jnp.asarray((xg + (np.asarray(cu) - xg) * 0.5).astype(np.float32))
     uv_v = jnp.asarray((yg + (np.asarray(cv) - yg) * 0.5).astype(np.float32))
-    call = _blur_groups_call if which == "v1" else _blur_groups_call_v2
+    if which == "v1":
+        call = _blur_groups_call
+    elif which == "v3":
+        def call(t_, u_, v_, g_, i_, b_):
+            return _blur_groups_call_v2(t_, u_, v_, g_, i_, b_, bf16=True)
+    else:
+        call = _blur_groups_call_v2
 
     @jax.jit
     def fn(texb):

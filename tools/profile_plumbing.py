@@ -41,7 +41,15 @@ _sync = None
 def sync(x):
     global _sync
     if _sync is None:
-        _sync = jax.jit(lambda t: jnp.sum(jnp.asarray(t, jnp.float32)))
+        # Sparse-slice fence (bench.py rationale): PJRT buffer-level deps
+        # make any consumer wait for the whole producing execution; a
+        # full-tensor f32 sum of a batch-128 u8 1080p output is a 3.2 GB
+        # temp that OOMs alongside the chain's own buffers.
+        _sync = jax.jit(
+            lambda t: jnp.sum(t[..., ::64, ::64, :].astype(jnp.float32))
+            if jnp.ndim(t) >= 3
+            else jnp.sum(t.astype(jnp.float32))
+        )
     return float(_sync(x))
 
 
