@@ -33,8 +33,13 @@ B, H, W = 32, 240, 320
 OH, OW = 1080, 1920
 
 
+_fence = jax.jit(lambda t: jnp.sum(t[..., ::64, ::64].astype(jnp.float32)))
+
+
 def fence(x):
-    return jax.jit(lambda t: jnp.sum(t[..., ::64, ::64].astype(jnp.float32)))(x)
+    # Hoisted jit: a fresh jax.jit(lambda ...) per call is a new function
+    # identity -> retrace + compile-cache round trip every iteration.
+    return _fence(x)
 
 
 def timeit(fn, produce, iters=10, windows=3):
