@@ -207,6 +207,90 @@ def _pallas_3pass(tex, ay, ax, xfirst: bool):
     return out[:oh] if oh_pad != oh else out
 
 
+def _int_factor(a: np.ndarray, dmax: int = 255):
+    """Factor a resampling matrix as (A_int, d) with A_int = a * d exactly
+    integer (in float64 view of the f32 entries) and A_int bf16-exact
+    (entries <= 255). Bilinear weights at rational scale ratios are exact
+    multiples of 1/(2*num) (half-texel centers), e.g. 320->1920 gives
+    k/12, 240->1080 gives k/18. Returns None when no d <= dmax works."""
+    a64 = a.astype(np.float64)
+    for d in range(1, dmax + 1):
+        r = a64 * d
+        k = np.rint(r)
+        # The f32 coordinate math in _axis_matrix perturbs the exact
+        # rationals by ~1e-5; snap to the rational and verify the snap
+        # error stays two decades under the u8 quantizer's 0.5/255.
+        if np.max(np.abs(r - k)) < d * 4e-5 and k.max() <= 255 and k.min() >= 0:
+            if np.max(np.abs(k / d - a64)) < 4e-5:
+                return k.astype(np.float32), float(d)
+    return None
+
+
+def _pallas_int2(tex, ay_k, dy, ax_k, dx):
+    """Integer-factored 2-pass bf16 dots: weights are small integers
+    (exact in bf16); data splits hi/lo once per dot. Error vs the exact
+    rational result <= ~2^-17 absolute — two decades under the 0.5/255
+    u8 quantizer threshold."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w, c = tex.shape
+    oh, ow = ay_k.shape[0], ax_k.shape[0]
+    TR = 128
+    oh_pad = ((oh + TR - 1) // TR) * TR
+    if oh_pad != oh:
+        ay_k = jnp.pad(ay_k, ((0, oh_pad - oh), (0, 0)))
+    scale = np.float32(1.0 / (dy * dx))
+
+    def dot2(a_bf16, b):
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        o = jnp.dot(a_bf16, b_hi, preferred_element_type=jnp.float32)
+        o += jnp.dot(a_bf16, b_lo, preferred_element_type=jnp.float32)
+        return o
+
+    def dot2r(b, a_bf16):
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        o = jnp.dot(b_hi, a_bf16, preferred_element_type=jnp.float32)
+        o += jnp.dot(b_lo, a_bf16, preferred_element_type=jnp.float32)
+        return o
+
+    def kernel(*refs):
+        ay_r = refs[0][:].astype(jnp.bfloat16)  # [TR, h] integer weights
+        axt = refs[1][:].astype(jnp.bfloat16)  # [w, ow] integer weights
+        texs = refs[2 : 2 + c]
+        outs = refs[2 + c :]
+        for ch in range(c):
+            a = dot2(ay_r, texs[ch][:])
+            b = dot2r(a, axt)
+            q = jnp.round(jnp.clip(b * scale, 0.0, 1.0) * 255.0).astype(jnp.int32)
+            outs[ch][:] = q.astype(jnp.uint8)
+
+    grid = (oh_pad // TR,)
+    in_specs = [
+        pl.BlockSpec((TR, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((w, ow), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for _ in range(c)
+    ]
+    out_specs = [
+        pl.BlockSpec((TR, ow), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for _ in range(c)
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((oh_pad, ow), jnp.uint8) for _ in range(c)],
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+    )(ay_k, ax_k.T, *(tex[:, :, ch] for ch in range(c)))
+    out = jnp.stack(outs, axis=-1)
+    return out[:oh] if oh_pad != oh else out
+
+
 def _einsum(tex, ay, ax, prec):
     a = jnp.einsum("os,shc->ohc", ay, tex, precision=prec,
                    preferred_element_type=jnp.float32)
@@ -244,11 +328,25 @@ def main():
     names = sys.argv[1:] or ["v0", "v0x", "vhi", "vlo", "v3p", "v3px", "wfloor"]
     dev = jax.devices()[0]
     print(f"device: {dev} platform={dev.platform}", flush=True)
+    print("building axes...", flush=True)
     ay, ax = axes()
+    print("axes built", flush=True)
     produce = make_produce()
+
+    fy = _int_factor(np.asarray(ay))
+    fx = _int_factor(np.asarray(ax))
+    if fy and fx:
+        print(f"int factors: dy={fy[1]} dx={fx[1]}", flush=True)
+        ay_k, dy = jnp.asarray(fy[0]), fy[1]
+        ax_k, dx = jnp.asarray(fx[0]), fx[1]
+        vint = jax.jit(jax.vmap(lambda f: _pallas_int2(f, ay_k, dy, ax_k, dx)))
+    else:
+        vint = None
+        print("int factors: NONE (vint unavailable)", flush=True)
 
     variants = {
         "v0": v0,
+        "vint": vint,
         "v0x": jax.jit(jax.vmap(lambda f: _pallas_xfirst(f, ay, ax))),
         "vhi": jax.jit(jax.vmap(lambda f: _einsum(f, ay, ax, jax.lax.Precision.HIGH))),
         "vlo": jax.jit(jax.vmap(lambda f: _einsum(f, ay, ax, jax.lax.Precision.DEFAULT))),
@@ -257,26 +355,32 @@ def main():
         "wfloor": jax.jit(jax.vmap(_wfloor)),
     }
 
-    base = np.asarray(v0(produce()))
+    # exactness vs v0 on a fixed probe input, compared ON DEVICE (a full
+    # u8 output is ~0.8 GB — hauling it through the tunnel dwarfs the
+    # timing runs).
+    probe = jnp.asarray(np.random.default_rng(7).random((B, H, W, C), np.float32))
+    diff = jax.jit(
+        lambda a, b: (
+            jnp.max(jnp.abs(a.astype(jnp.int32) - b.astype(jnp.int32))),
+            jnp.mean((a != b).astype(jnp.float32)),
+        )
+    )
+    base_probe = v0(probe)
     for n in names:
         fn = variants[n]
+        if fn is None:
+            continue
         try:
-            got = np.asarray(fn(produce()))
-            # exactness vs v0 on the SAME input requires replays — use a
-            # fixed probe input instead:
-            probe = jnp.asarray(np.random.default_rng(7).random((B, H, W, C), np.float32))
-            a = np.asarray(v0(probe)).astype(np.int32)
-            bq = np.asarray(fn(probe)).astype(np.int32)
-            d = np.abs(a - bq)
+            md, fl = diff(base_probe, fn(probe))
+            md, fl = int(md), float(fl)
             t = timeit(fn, produce)
             print(
                 f"{n}: {t * 1e3:.2f} ms/call {t / B * 1e3:.4f} ms/f  "
-                f"maxdiff={d.max()} flips={float((d > 0).mean()):.2e}",
+                f"maxdiff={md} flips={fl:.2e}",
                 flush=True,
             )
         except Exception as ex:  # noqa: BLE001
             print(f"{n}: ERROR {type(ex).__name__}: {ex}", flush=True)
-    del base
 
 
 if __name__ == "__main__":
