@@ -204,6 +204,18 @@ def _run_one(name) -> dict:
     return {"name": name, "error": "unknown config"}
 
 
+def _summary_line(results) -> str:
+    good = [r["fps"] for r in results if "fps" in r]
+    geo = float(np.exp(np.mean(np.log(good)))) if good else 0.0
+    return json.dumps({
+        "metric": "1080p shader-chain frames/sec/chip (geomean of 5 BASELINE configs)",
+        "value": round(geo, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(geo / TARGET_FPS, 3),
+        "configs": results,
+    })
+
+
 def main() -> int:
     import subprocess
 
@@ -223,10 +235,13 @@ def main() -> int:
                 capture_output=True,
                 text=True,
                 # Compile-server latency through the tunnel is heavy-
-                # tailed (observed 100 s..20 min for identical HLO);
-                # give each config room so a slow-compile window can't
-                # drop a config from the geomean.
-                timeout=3300,
+                # tailed (r3 recorded 592-679 s for programs that cold-
+                # compile in 7-25 s on a quiet day — see
+                # docs/compile_time_r4.md). Bound each config so one
+                # slow window can't eat the whole driver budget; the
+                # incremental summary emit below keeps every completed
+                # config in the artifact regardless.
+                timeout=700,
             )
             line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
             r = json.loads(line) if line.startswith("{") else {
@@ -237,21 +252,14 @@ def main() -> int:
             r = {"name": name, "error": f"{type(ex).__name__}: {ex}"}
         results.append(r)
         print(f"# {r}", file=sys.stderr, flush=True)
-        time.sleep(15)
+        # Incremental emit: print the cumulative summary after EVERY
+        # config. The driver takes the last parseable stdout line, so a
+        # timeout mid-run now yields a partial-but-valid artifact
+        # instead of rc=124/parsed=null (the round-3 failure mode).
+        print(_summary_line(results), flush=True)
+        time.sleep(10)
 
-    good = [r["fps"] for r in results if "fps" in r]
-    if good:
-        geo = float(np.exp(np.mean(np.log(good))))
-    else:
-        geo = 0.0
-    line = {
-        "metric": "1080p shader-chain frames/sec/chip (geomean of 5 BASELINE configs)",
-        "value": round(geo, 1),
-        "unit": "frames/sec",
-        "vs_baseline": round(geo / TARGET_FPS, 3),
-        "configs": results,
-    }
-    print(json.dumps(line))
+    print(_summary_line(results))
     return 0
 
 

@@ -72,6 +72,31 @@ _MATTIAS_W = np.array(
     np.float64,
 )
 
+def _mattias_max_dudv() -> float:
+    """Worst-case |du/dv| of the mattias warp, at CURVATURE=1 (the
+    pragma max, crt-mattias.glsl:5; the runtime parameter only
+    interpolates q -> curve(q), so c=1 is the hard ceiling). Used by
+    blur_groups v2's static drift gate: its tau routing anchors gathers
+    to the tile's row-0 column base and covers per-row drift via a
+    +-1-texel candidate margin — this bound proves the margin holds for
+    every tile at any runtime CURVATURE instead of assuming it."""
+    v = np.linspace(0.0, 1.0, 2049)[None, :]
+    u = np.linspace(0.0, 1.0, 65)[:, None]
+    # numpy transcription of _mattias_curve (keeps this pure-host).
+    x = (u - 0.5) * 2.0 * 1.1 + 0.0 * v
+    y = (v - 0.5) * 2.0 * 1.1 + 0.0 * u
+    ty = np.abs(y) / 5.0
+    x = x * (1.0 + ty * ty)
+    tx = np.abs(x) / 4.0
+    y = y * (1.0 + tx * tx)
+    uu = (x * 0.5 + 0.5) * 0.92 + 0.04
+    dudv = np.abs(np.diff(uu, axis=1)) / np.diff(v[0])[None, :]
+    return float(dudv.max()) * 1.05  # 5% grid-resolution slack
+
+
+_MATTIAS_MAX_DUDV = _mattias_max_dudv()
+
+
 # (channel, base dx, base dy, offs, scale, post_add) per blur call,
 # crt-mattias.glsl main() lines col.r/.g/.b =/+= ...
 _MATTIAS_GROUPS = [
@@ -109,7 +134,9 @@ def _mattias_kernel(ctx, sh):
         xo = [np.float32(offs * k) / np.float32(ow) for k in (-2.0, -1.0, 0.0, 1.0, 2.0)]
         yo = [np.float32(offs * k) / np.float32(oh) for k in (-2.0, -1.0, 0.0, 1.0, 2.0)]
         groups.append(BlurGroup(ch, bx, by, xo, yo, _MATTIAS_W, scale))
-    if not interpret and not blur_groups_fits((h, w, 3), (oh, ow), groups):
+    if not interpret and not blur_groups_fits(
+        (h, w, 3), (oh, ow), groups, max_dudv=_MATTIAS_MAX_DUDV
+    ):
         return None
 
     curvature = jnp.float32(ctx.params.get("CURVATURE", np.float32(0.5)))
@@ -150,7 +177,10 @@ def _mattias_kernel(ctx, sh):
     if use_preconv:
         planes = blur_preconv(p, uv_u, uv_v, groups, interpret=interpret)
     else:
-        planes = blur5x5_groups(p, uv_u, uv_v, groups, interpret=interpret)
+        planes = blur5x5_groups(
+            p, uv_u, uv_v, groups, interpret=interpret,
+            max_dudv=_MATTIAS_MAX_DUDV,
+        )
 
     posts = {0: 0.0, 1: 0.0, 2: 0.0}
     for ch, _, _, _, _, post in _MATTIAS_GROUPS:

@@ -32,6 +32,8 @@ actual floors, so float rounding never misroutes a tap.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -113,10 +115,12 @@ def _static_plan(groups, w, h):
     return plan
 
 
-def blur_groups_fits(tex_shape, out_shape, groups) -> bool:
+def blur_groups_fits(tex_shape, out_shape, groups, max_dudv=None) -> bool:
     """Static feasibility: VMEM-resident texture; each channel's tap
     window (tile source span + tap spread + warp bend slack) within one
-    128-lane rotated window; row window within the KB-row band."""
+    128-lane rotated window; row window within the KB-row band; and (v2,
+    when the caller supplies its warp-slope bound ``max_dudv``) the
+    worst-case per-tile column drift within the tau candidate margin."""
     import os
 
     h, w, c = tex_shape
@@ -126,7 +130,7 @@ def blur_groups_fits(tex_shape, out_shape, groups) -> bool:
     if hp * wp * c * 4 > _VMEM_TEX_BYTES:
         return False
     if os.environ.get("RCTPU_BLUR", "v2") != "v1":
-        if _static_plan_v2(groups, w, h, oh, ow) is None:
+        if _static_plan_v2(groups, w, h, oh, ow, max_dudv) is None:
             return False
     else:
         plan = _static_plan(groups, w, h)
@@ -147,7 +151,7 @@ def blur_groups_fits(tex_shape, out_shape, groups) -> bool:
     return platform in ("tpu", "axon")
 
 
-def blur5x5_groups(tex, u, v, groups, *, interpret: bool = False):
+def blur5x5_groups(tex, u, v, groups, *, interpret: bool = False, max_dudv=None):
     """tex [H, W, C] f32 (pre-transformed values), u/v [HO, WO] base warp
     → dict {channel: [HO, WO] f32 plane} with per-group scales folded.
 
@@ -175,10 +179,14 @@ def blur5x5_groups(tex, u, v, groups, *, interpret: bool = False):
         # gather can't stay bf16) cost more than the packing saves.
         def call(tex_, u_, v_, groups_, interpret_, batch):
             return _blur_groups_call_v2(
-                tex_, u_, v_, groups_, interpret_, batch, bf16=True
+                tex_, u_, v_, groups_, interpret_, batch, bf16=True,
+                max_dudv=max_dudv,
             )
     else:
-        call = _blur_groups_call_v2
+        def call(tex_, u_, v_, groups_, interpret_, batch):
+            return _blur_groups_call_v2(
+                tex_, u_, v_, groups_, interpret_, batch, max_dudv=max_dudv
+            )
 
     @jax.custom_batching.custom_vmap
     def run(tex_, u_, v_):
@@ -444,13 +452,31 @@ def _blur_groups_call(tex, u, v, groups, interpret: bool, batch):
 # the evaluator. Selected by RCTPU_BLUR (default v2).
 
 
-def _static_plan_v2(groups, w, h, oh, ow):
+def _static_plan_v2(groups, w, h, oh, ow, max_dudv=None):
     """Per-group static plan: tap bases, tau sets (+-1/+2 routing
     margin), and the narrow row-window height R. Returns None when any
     group's geometry cannot satisfy the window invariants (caller falls
-    back / rejects via blur_groups_fits)."""
+    back / rejects via blur_groups_fits).
+
+    ``max_dudv``: worst-case |du/dv| of the warp (uv units per v unit),
+    supplied by the caller from its analytic warp bound (for crt-mattias:
+    the CURVATURE=1 curve slope — the runtime CURVATURE parameter only
+    interpolates toward that curve, so it is the hard ceiling). v2's tau
+    routing gathers against row 0's column base and covers per-row drift
+    only via the {-1..+2} candidate window; the plan REJECTS (returns
+    None) when the worst-case per-tile column drift could exceed that
+    margin, instead of silently routing to the wrong texel. ``None``
+    means the caller vouches for drift <= +-1 texel per TY-row tile."""
     descent = int(np.ceil(TY * (h / oh) * 1.3)) + 1
     span = TX * (w / ow) * 1.3 + 4
+    if max_dudv is not None:
+        # Column drift across a TY-row output tile, in source texels.
+        # Candidates {-1..+2} around base rel in {0, 1} tolerate 1.0
+        # texel of drift each way; keep 0.25 texel of floor-rounding
+        # fuzz.
+        drift_texels = float(max_dudv) * (TY - 1) / float(oh) * float(w)
+        if drift_texels > 0.75:
+            return None
     plan = []
     for g in groups:
         w32 = (g.weights * g.scale).astype(np.float32)
@@ -486,7 +512,9 @@ def _static_plan_v2(groups, w, h, oh, ow):
     return plan
 
 
-def _blur_groups_call_v2(tex, u, v, groups, interpret: bool, batch, bf16=False):
+def _blur_groups_call_v2(
+    tex, u, v, groups, interpret: bool, batch, bf16=False, max_dudv=None
+):
     """v2 Mosaic program (see module comment). Same interface as
     _blur_groups_call. bf16=True (v3) runs the window, gathers, and the
     row-loop mask/FMA arithmetic in bfloat16 — (16, 128) bf16 tiles pack
@@ -501,8 +529,13 @@ def _blur_groups_call_v2(tex, u, v, groups, interpret: bool, batch, bf16=False):
     u = jnp.asarray(u, jnp.float32)
     v = jnp.asarray(v, jnp.float32)
     ho, wo = u.shape
-    plan = _static_plan_v2(groups, w, h, ho, wo)
-    assert plan is not None, "blur_groups_fits must gate v2 feasibility"
+    plan = _static_plan_v2(groups, w, h, ho, wo, max_dudv)
+    if plan is None:
+        # ValueError (not assert): interpret-mode callers skip the
+        # blur_groups_fits gate, and the engine's degrade-to-passthrough
+        # net catches ValueError — an AssertionError would crash instead
+        # of falling back to the evaluator (r3 advisor finding).
+        raise ValueError("blur_groups v2: geometry infeasible (see _static_plan_v2)")
     chans = sorted({g.channel for g in groups})
 
     max_r = max(p["R"] for p in plan)
@@ -552,7 +585,12 @@ def _blur_groups_call_v2(tex, u, v, groups, interpret: bool, batch, bf16=False):
                 )
                 for _, yoff in p["yj"]
             ]
-            m0 = jnp.clip(jnp.min(drs[0]) - 1, 0, hp - r_g)
+            # Window base: min over ALL taps' rows (not drs[0] — yo is
+            # not guaranteed ascending, and anchoring to a non-minimal
+            # tap would push lower taps to negative rel and silently
+            # drop them from the one-hot row select; r3 advisor finding).
+            m0 = functools.reduce(jnp.minimum, [jnp.min(d) for d in drs])
+            m0 = jnp.clip(m0 - 1, 0, hp - r_g)
             rels = [dr - m0 for dr in drs]  # [TY, TX] ints in [0, R)
 
             # x: rotated [R, TX] window straight from the texture.

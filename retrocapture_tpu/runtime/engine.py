@@ -666,10 +666,11 @@ class Engine:
         # a closed-over array becomes a StableHLO literal, and iq-canyon's
         # four 1024x1024 RGBA LUTs inflated its program to 102 MB of HLO
         # and an 11.4 GB serialized TPU executable (timeout_tpu_r2.json).
-        # lut_cell is a trace-time cell in the src_quant[0] pattern: the
-        # outer wrapper stores the traced lut dict before calling inner.
+        # The traced LUT dict and the source-quantized flag are threaded
+        # explicitly through normalize/single (no shared mutable cells:
+        # two threads retracing the same jitted fn concurrently must not
+        # leak one trace's tracers into the other — r3 advisor finding).
         lut_names = sorted(prog.luts) if prog.luts else []
-        lut_cell = [None]
 
         def finalize(outs_b):
             """Batched viewport blit + output packing. The u8 path fuses
@@ -692,11 +693,9 @@ class Engine:
 
             return jax.vmap(lambda t: blit_u8(t, vw, vh))(outs_b)
 
-        src_quant = [False]
-
         def single(
             src, history, feedback, frame_count, time, pvals=None, blit=True,
-            allow_factored=True,
+            allow_factored=True, src_quant=False, lut_data=None,
         ):
             return _run_chain(
                 prog,
@@ -710,15 +709,17 @@ class Engine:
                 pvals if pvals is not None else params,
                 blit=blit,
                 allow_factored=allow_factored,
-                source_quantized=src_quant[0],
-                lut_data=lut_cell[0],
+                source_quantized=src_quant,
+                lut_data=lut_data,
             )
 
         def normalize(raw_b):
             # Chain input sits on the k/255 grid only when it is raw u8
             # RGB with no packed-format convert and no pre-resize (both
-            # produce off-grid floats). Trace-time static per jit key.
-            src_quant[0] = (
+            # produce off-grid floats). Trace-time static per jit key;
+            # returned alongside the tensor so callers thread it into
+            # single() instead of reading a shared cell.
+            src_quant = (
                 raw_b.dtype == jnp.uint8
                 and self._input_format == "rgb"
                 and (pw, ph) == (w, h)
@@ -731,7 +732,7 @@ class Engine:
                 src_b = jax.vmap(
                     lambda t: sample2d(t, u, v, filter_linear=True)
                 )(src_b)
-            return src_b
+            return src_b, src_quant
 
         if fc_static is not None:
             # Concrete-FrameCount mode (RCTPU_CONCRETE_FC=1, used by the
@@ -742,8 +743,9 @@ class Engine:
             # reference, where every uniform is concrete per draw call.
             # Costs one retrace per frame_count value; never the default.
 
-            def batch_fn(raw_b, state: _ChainState, pvals=None):
-                src_b = normalize(raw_b)
+            def batch_fn(raw_b, state: _ChainState, pvals=None, lut_vals=None):
+                src_b, sq = normalize(raw_b)
+                lut = dict(zip(lut_names, lut_vals)) if lut_vals is not None else None
                 nb = src_b.shape[0]
                 hist, fb = state.history, state.feedback
                 outs = []
@@ -757,6 +759,8 @@ class Engine:
                         pvals,
                         blit=False,
                         allow_factored=not temporal,
+                        src_quant=sq,
+                        lut_data=lut,
                     )
                     outs.append(out)
                 outs = finalize(jnp.stack(outs)[..., :3])
@@ -781,8 +785,9 @@ class Engine:
             # frame — the ntsc pass0 "4x its math" plumbing tax was this.
             m_p, r0 = fc_group
 
-            def batch_fn(raw_b, state: _ChainState, pvals=None):
-                src_b = normalize(raw_b)
+            def batch_fn(raw_b, state: _ChainState, pvals=None, lut_vals=None):
+                src_b, sq = normalize(raw_b)
+                lut = dict(zip(lut_names, lut_vals)) if lut_vals is not None else None
                 nb = src_b.shape[0]
                 g = nb // m_p
                 grouped = src_b.reshape((g, m_p) + src_b.shape[1:])
@@ -796,6 +801,8 @@ class Engine:
                         np.float32(0.0),  # fc_period proved Time unused
                         pvals,
                         blit=False,
+                        src_quant=sq,
+                        lut_data=lut,
                     )
                     return out
 
@@ -817,8 +824,9 @@ class Engine:
 
         elif temporal:
 
-            def batch_fn(raw_b, state: _ChainState, pvals=None):
-                src_b = normalize(raw_b)
+            def batch_fn(raw_b, state: _ChainState, pvals=None, lut_vals=None):
+                src_b, sq = normalize(raw_b)
+                lut = dict(zip(lut_names, lut_vals)) if lut_vals is not None else None
 
                 def step(carry, src):
                     hist, fb, fc, tm = carry
@@ -830,7 +838,7 @@ class Engine:
                     # (feedback-ghost regressed 1937 -> 223 fps).
                     out, hist, fb = single(
                         src, hist, fb, fc, tm, pvals, blit=False,
-                        allow_factored=False,
+                        allow_factored=False, src_quant=sq, lut_data=lut,
                     )
                     return (hist, fb, fc + 1, tm + jnp.float32(0.016)), out
 
@@ -842,8 +850,9 @@ class Engine:
 
         else:
 
-            def batch_fn(raw_b, state: _ChainState, pvals=None):
-                src_b = normalize(raw_b)
+            def batch_fn(raw_b, state: _ChainState, pvals=None, lut_vals=None):
+                src_b, sq = normalize(raw_b)
+                lut = dict(zip(lut_names, lut_vals)) if lut_vals is not None else None
                 nb = src_b.shape[0]
                 # Per-frame FrameCount/Time: the reference increments once
                 # per frame (ShaderEngine.cpp:1685-1689), so frame i of a
@@ -864,6 +873,8 @@ class Engine:
                         tm,
                         pvals,
                         blit=False,
+                        src_quant=sq,
+                        lut_data=lut,
                     )
                     return out
 
@@ -876,25 +887,30 @@ class Engine:
                     state.time + jnp.float32(0.016) * n,
                 )
 
+        # Public jit signatures (LUTs ride as trailing positional args):
+        #   (raw, state[, pvals][, lut_vals])
+        inner_fn = batch_fn
         if traced_params:
-            inner_fn = batch_fn
-
-            def batch_fn(raw_b, state, pvals):  # noqa: F811
-                return inner_fn(raw_b, state, pvals)
-
-        if lut_names:
-            inner_lut_fn = batch_fn
-            if traced_params:
+            if lut_names:
 
                 def batch_fn(raw_b, state, pvals, lut_vals):  # noqa: F811
-                    lut_cell[0] = dict(zip(lut_names, lut_vals))
-                    return inner_lut_fn(raw_b, state, pvals)
+                    return inner_fn(raw_b, state, pvals, lut_vals)
 
             else:
 
+                def batch_fn(raw_b, state, pvals):  # noqa: F811
+                    return inner_fn(raw_b, state, pvals)
+
+        else:
+            if lut_names:
+
                 def batch_fn(raw_b, state, lut_vals):  # noqa: F811
-                    lut_cell[0] = dict(zip(lut_names, lut_vals))
-                    return inner_lut_fn(raw_b, state)
+                    return inner_fn(raw_b, state, None, lut_vals)
+
+            else:
+
+                def batch_fn(raw_b, state):  # noqa: F811
+                    return inner_fn(raw_b, state)
 
         if self._mesh is not None and not temporal and not u8:
             # Data-parallel over the mesh: frames shard over 'data' (and
