@@ -600,9 +600,363 @@ def _xbr_lv2_kernel(ctx, sh):
     return jnp.stack(res + [jnp.ones((oh, ow), jnp.float32)], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# ntsc pass1 (composite/svideo, 2-phase): the modulate/cross-talk/
+# demodulate encode (ntsc-pass1-composite-2phase.glsl, fragment main).
+#
+# Key structure exploited: with frame_count_mod0=2 (ntsc-320px.glslp)
+# the shader sees FrameCount in {0, 1}, and the chroma-phase trig
+#   i_mod = cos(PI*(mod(pix_no.y,2)+fc) + pix_no.x*CHROMA_MOD_FREQ)
+# depends on the pixel only through (y&1, x) — so the i_mod/q_mod
+# fields have exactly FOUR [W]-row variants (2 y-parities x 2 fc
+# values), precomputed here as numpy constants with the SAME stepwise
+# f32 op order and the same llvmpipe-bit-matched trig (_lp_trig) the
+# evaluator uses. Under vmap with a traced per-frame FrameCount the
+# whole trig field reduces to one dynamic row-pair select — nothing
+# FrameCount-dependent is recomputed per frame (the profiled "pass0
+# costs 4x its math" plumbing tax, PARITY.md r3).
+#
+# The 320->1280 absolute-scale x-upsample is NEAREST with an integer
+# ratio (texel = x // r), i.e. jnp.repeat — no gathers, no tap matmuls.
+# ---------------------------------------------------------------------------
+
+# begin params block constants (f32 stepwise, evaluator order)
+_NTSC_PI = np.float32(3.14159265)
+_NTSC_CMF2 = np.float32(np.float32(4.0) * _NTSC_PI) / np.float32(15.0)
+
+# rgb2yiq / mix_mat columns ([col][row] per GLSL column-major ctor).
+_NTSC_YIQ_COLS = (
+    (np.float32(0.2989), np.float32(0.5870), np.float32(0.1140)),
+    (np.float32(0.5959), np.float32(-0.2744), np.float32(-0.3216)),
+    (np.float32(0.2115), np.float32(-0.5229), np.float32(0.3114)),
+)
+
+
+def _ntsc_phase_rows(w_out: int):
+    """[2(fc), 2(y&1), w_out] cos/sin chroma-phase constants, bit-matched
+    to the evaluator: same f32 step order, same _lp_trig polynomials
+    (numpy path = exact-FMA llvmpipe match)."""
+    from retrocapture_tpu.frontend.builtins import _lp_trig
+
+    x = np.arange(w_out, dtype=np.float32) + np.float32(0.5)  # pix_no.x
+    t = (x * _NTSC_CMF2).astype(np.float32)
+    cosr = np.empty((2, 2, w_out), np.float32)
+    sinr = np.empty((2, 2, w_out), np.float32)
+    for fcm in range(2):
+        for ypar in range(2):
+            s = np.float32(np.float32(ypar) + np.float32(0.5)) + np.float32(
+                np.float32(fcm)
+            )
+            cp = np.float32(_NTSC_PI * s)
+            mp = (cp + t).astype(np.float32)
+            cosr[fcm, ypar] = _lp_trig(np, mp, True)
+            sinr[fcm, ypar] = _lp_trig(np, mp, False)
+    return cosr, sinr
+
+
+def _ntsc_pass1_2phase_kernel(ctx, sh, *, svideo: bool):
+    cfg = ctx.program.preset.passes[ctx.i]
+    if cfg.filter_linear or cfg.wrap_mode != "clamp_to_edge" or cfg.mipmap_input:
+        return None
+    if cfg.frame_count_mod != 2:
+        return None  # field enumeration relies on fc in {0, 1}
+    ow, oh = ctx.out_size
+    h, w = sh.in_h, sh.in_w
+    if oh != h or ow % w != 0 or ow // w < 1:
+        return None
+    r = ow // w
+    tex = ctx.input_binding.tex
+    if tex.shape[0] != h or tex.shape[1] != w:
+        return None
+
+    fc = ctx.frame_count
+    cosr, sinr = _ntsc_phase_rows(ow)  # [2, 2, ow]
+    from retrocapture_tpu.frontend.values import is_concrete
+
+    if is_concrete(fc):
+        fcm = int(np.asarray(fc)) % 2
+        # Barrier: without it the row-pair constants + tile form a
+        # pure-constant subgraph XLA folds to a full [h, ow] literal at
+        # compile time (single-threaded; the _axis_matrix_device lesson).
+        ci = jax.lax.optimization_barrier(jnp.asarray(cosr[fcm]))  # [2, ow]
+        si = jax.lax.optimization_barrier(jnp.asarray(sinr[fcm]))
+    else:
+        fcm = (fc % 2).astype(jnp.int32)
+        ci = jax.lax.dynamic_index_in_dim(
+            jnp.asarray(cosr), fcm, axis=0, keepdims=False
+        )
+        si = jax.lax.dynamic_index_in_dim(
+            jnp.asarray(sinr), fcm, axis=0, keepdims=False
+        )
+    # Row-parity tiling [h, ow] (h may be odd: tile then slice).
+    reps = (h + 1) // 2
+    i_mod = jnp.tile(ci, (reps, 1))[:h]
+    q_mod = jnp.tile(si, (reps, 1))[:h]
+
+    on_tpu = _mode() != "interpret" and jax.devices()[0].platform in ("tpu", "axon")
+    if not on_tpu:
+        # CPU / interpret: v * mat einsums in the evaluator's exact form
+        # (builtins._mat_mul). XLA:CPU lowers the batched [H,W,3]x[3,3]
+        # contraction through its (reduced-precision) GEMM exactly as the
+        # evaluator's path does, keeping this kernel bit-identical to the
+        # evaluator — which is what the GL parity record certifies
+        # (gl_parity sweep: ntsc-320px{,-svideo}{,-gauss-scanline} all
+        # PSNR inf with the kernel active, 2026-08-20).
+        up = jnp.repeat(tex[..., :3], r, axis=1)  # [h, ow, 3] NEAREST
+        yiq_mat = np.array(_NTSC_YIQ_COLS, np.float32)  # [cols, rows]
+        yiq = jnp.einsum("...r,cr->...c", up, yiq_mat)
+        mod2 = jnp.stack([i_mod, q_mod], axis=-1)
+        yiq = jnp.concatenate([yiq[..., :1], yiq[..., 1:] * mod2], axis=-1)
+        if svideo:
+            mix_cols = ((1.0, 0.0, 0.0), (0.0, 2.0, 0.0), (0.0, 0.0, 2.0))
+        else:
+            mix_cols = ((1.0, 1.0, 1.0), (1.0, 2.0, 0.0), (1.0, 0.0, 2.0))
+        yiq = jnp.einsum("...r,cr->...c", yiq, np.array(mix_cols, np.float32))
+        yiq = jnp.concatenate([yiq[..., :1], yiq[..., 1:] * mod2], axis=-1)
+        return jnp.concatenate(
+            [yiq, jnp.ones((h, ow, 1), jnp.float32)], axis=-1
+        )
+
+    # TPU: plane-wise (channel-SoA) elementwise form. The channel-minor
+    # [H,W,3]x[3,3] einsum forces Mosaic to pad the 3-wide minor dim to
+    # 128 lanes around an MXU contraction (measured 10.4 ms/frame vs
+    # 1.32 for the whole evaluator chain); per-plane FMAs on [H, OW]
+    # vregs are the native layout. f32 elementwise is *more* precise
+    # than the CPU GEMM path; cross-backend equivalence is covered by
+    # the interpret-mode tests like every other registry kernel.
+    f = np.float32
+    cr, cg, cb = (
+        jnp.repeat(tex[..., c], r, axis=1) for c in range(3)
+    )  # [h, ow] each
+    (y0, y1, y2), (i0, i1, i2), (q0, q1, q2) = _NTSC_YIQ_COLS
+    Y = cr * y0 + cg * y1 + cb * y2
+    I = cr * i0 + cg * i1 + cb * i2
+    Q = cr * q0 + cg * q1 + cb * q2
+    I = I * i_mod  # modulate
+    Q = Q * q_mod
+    if svideo:
+        cx, cy, cz = Y, I * f(2.0), Q * f(2.0)
+    else:
+        cx = Y + I + Q
+        cy = Y + I * f(2.0)
+        cz = Y + Q * f(2.0)
+    cy = cy * i_mod  # demodulate
+    cz = cz * q_mod
+    return jnp.stack(
+        [cx, cy, cz, jnp.ones((h, ow), jnp.float32)], axis=-1
+    )
+
+
+# ---------------------------------------------------------------------------
+# ntsc pass2 (2-phase decode): 65-tap separable x-FIR + yiq2rgb + gamma
+# (ntsc-pass2-2phase{,-linear,-gamma}.glsl). The evaluator lowers the 65
+# fetch_offset taps as 65 separate one-hot resampling matmuls; here the
+# whole FIR *and* the decimate-by-2 fold into ONE [in_w, out_w] band
+# matrix per filter (luma/chroma) — a single MXU contraction per channel,
+# ~65x less matmul work. Tap geometry: the vertex stage shifts vTexCoord
+# by -0.5/SourceSize.x ("compensate for decimate-by-2"), so output x
+# NEAREST-samples source texel 2x, and fetch_offset(k) reads texel
+# clamp(2x + k) for k in [-TAPS, TAPS].
+# Filter constants below are the shader's own float[TAPS+1] tables
+# (shader-asset contract values, ntsc-pass2-2phase-gamma.glsl:186-254).
+# ---------------------------------------------------------------------------
+
+_NTSC2_LUMA = (
+    -0.000174844, -0.000205844, -0.000149453, -0.000051693,
+    0.000000000, -0.000066171, -0.000245058, -0.000432928,
+    -0.000472644, -0.000252236, 0.000198929, 0.000687058,
+    0.000944112, 0.000803467, 0.000363199, 0.000013422,
+    0.000253402, 0.001339461, 0.002932972, 0.003983485,
+    0.003026683, -0.001102056, -0.008373026, -0.016897700,
+    -0.022914480, -0.021642347, -0.008863273, 0.017271957,
+    0.054921920, 0.098342579, 0.139044281, 0.168055832,
+    0.178571429,
+)
+_NTSC2_CHROMA = (
+    0.001384762, 0.001678312, 0.002021715, 0.002420562,
+    0.002880460, 0.003406879, 0.004004985, 0.004679445,
+    0.005434218, 0.006272332, 0.007195654, 0.008204665,
+    0.009298238, 0.010473450, 0.011725413, 0.013047155,
+    0.014429548, 0.015861306, 0.017329037, 0.018817382,
+    0.020309220, 0.021785952, 0.023227857, 0.024614500,
+    0.025925203, 0.027139546, 0.028237893, 0.029201910,
+    0.030015081, 0.030663170, 0.031134640, 0.031420995,
+    0.031517031,
+)
+
+# yiq2rgb_mat columns ([col][row], GLSL column-major ctor).
+_NTSC_YIQ2RGB_COLS = (
+    (np.float32(1.0), np.float32(0.956), np.float32(0.6210)),
+    (np.float32(1.0), np.float32(-0.2720), np.float32(-0.6474)),
+    (np.float32(1.0), np.float32(-1.1060), np.float32(1.7046)),
+)
+
+
+def _ntsc_band_np_cols(weights, in_w: int, xs):
+    """Exact numpy band columns (clamped-tap accumulation) for the given
+    x positions — used for the edge strips where taps clamp."""
+    taps = len(weights) - 1
+    m = np.zeros((in_w, len(xs)), np.float32)
+    for ci, x in enumerate(xs):
+        for k in range(-taps, taps + 1):
+            j = min(max(2 * x + k, 0), in_w - 1)
+            m[j, ci] += np.float32(weights[taps - abs(k)])
+    return m
+
+
+def _ntsc_band_matrix(weights, in_w: int, out_w: int):
+    """[in_w, out_w] f32 band matrix: column x accumulates weight w_|k|
+    at row clamp(2x + k, 0, in_w-1), k in [-32, 32].
+
+    Built as ONE device gather of a 1-D weight vector over an iota
+    difference (band structure: interior entries depend only on
+    j - 2x), plus tiny numpy edge strips (16 columns each side) where
+    tap clamping breaks the translation invariance. Keeps both the HLO
+    small (no [in_w, out_w] literal — the iq-canyon LUT lesson) and the
+    trace cheap (an earlier 65x iota-compare build cost ~3 ms/call of
+    unamortized device work at batch 1 and minutes of extra compile)."""
+    taps = len(weights) - 1  # 32
+    wvec = np.zeros(2 * taps + 3, np.float32)  # [0]=sentinel 0, [-1]=0
+    for k in range(-taps, taps + 1):
+        wvec[k + taps + 1] = np.float32(weights[taps - abs(k)])
+    xl = (taps + 1) // 2  # columns [0, xl) clamp at j=0
+    xr = (in_w - 1 - taps) // 2 + 1  # columns [xr, out_w) clamp at in_w-1
+    xl, xr = min(xl, out_w), max(min(xr, out_w), xl)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (in_w, xr - xl), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (in_w, xr - xl), 1) + xl
+    idx = jax.lax.optimization_barrier(jj - 2 * xx + (taps + 1))
+    # Barrier pins the weight vector as runtime data: without it the
+    # whole build is a pure-constant subgraph that XLA constant-folds
+    # single-threaded at compile time (the _axis_matrix_device lesson —
+    # measured 37 s per band matrix on XLA:CPU / 170-270 s of ntsc
+    # compile_s on the chip). The diagonal fill is a sum of selects
+    # rather than a take: Mosaic lowers the [in_w, cols] lane-gather at
+    # ~10 ms/call, while 65 fused compare-selects cost ~0.2 ms and
+    # vanish at batch 128.
+    wv = jax.lax.optimization_barrier(jnp.asarray(wvec))
+    interior = jnp.zeros((in_w, xr - xl), jnp.float32)
+    for d in range(1, 2 * taps + 2):
+        interior = interior + jnp.where(idx == d, wv[d], np.float32(0.0))
+    parts = []
+    if xl > 0:
+        parts.append(jnp.asarray(_ntsc_band_np_cols(weights, in_w, range(xl))))
+    parts.append(interior)
+    if xr < out_w:
+        parts.append(
+            jnp.asarray(_ntsc_band_np_cols(weights, in_w, range(xr, out_w)))
+        )
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
+def _ntsc_pass2_2phase_kernel(ctx, sh, *, gamma):
+    """gamma: None (plain), or the constant f32 exponent
+    (2.5/2.0 for -gamma, 2.4 for -linear)."""
+    if _mode() == "interpret":
+        on_tpu = False
+    else:
+        try:
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:  # noqa: BLE001
+            return None
+        if not on_tpu:
+            # CPU keeps the evaluator: it is the GL-parity reference
+            # path (ntsc-320px family PSNR inf), and the band-matmul's
+            # reordered summation would perturb it for no CPU benefit.
+            return None
+    cfg = ctx.program.preset.passes[ctx.i]
+    if cfg.filter_linear or cfg.wrap_mode != "clamp_to_edge" or cfg.mipmap_input:
+        return None
+    ow, oh = ctx.out_size
+    h, w = sh.in_h, sh.in_w
+    if w != 2 * ow:
+        return None
+    tex = ctx.input_binding.tex
+    if tex.shape[0] != h or tex.shape[1] != w:
+        return None
+    # ntsc-320px's LAST pass lands here with oh == viewport height (the
+    # explicit `source 1.0` y-scale upgrades to viewport on the last
+    # pass, scale.py): the GLSL then NEAREST-replicates source rows.
+    # The FIR is y-invariant, so run it (and the gamma) at the h source
+    # rows and expand rows afterwards — 4.5x less FIR/pow work at 1080p.
+    row_idx = None
+    if oh != h:
+        # Exact evaluator row map: llvmpipe plane setup for the
+        # vTexCoord.y varying (corners 0/1/1), f64 affine evaluation
+        # cast once to f32 (sample2d_affine's coord recipe), then
+        # _axis_matrix's NEAREST floor — a naive (y+0.5)/oh formula
+        # picks different source rows at the 4.5-ratio boundary rows.
+        from retrocapture_tpu.runtime.engine import _plane_setup_f32
+
+        a0, _dadx, dady = _plane_setup_f32(
+            ow, oh, np.float32(0.0), np.float32(1.0), np.float32(1.0)
+        )
+        coord = (
+            np.float64(dady) * np.arange(oh, dtype=np.float64) + np.float64(a0)
+        ).astype(np.float32)
+        row_idx = np.clip(np.floor(coord * h).astype(np.int64), 0, h - 1)
+
+    ml = _ntsc_band_matrix(_NTSC2_LUMA, w, ow)
+    mc = _ntsc_band_matrix(_NTSC2_CHROMA, w, ow)
+    hi = jax.lax.Precision.HIGHEST
+    dot = lambda p, m: jax.lax.dot(p, m, precision=hi)  # noqa: E731
+    Y = dot(tex[..., 0], ml)
+    I = dot(tex[..., 1], mc)
+    Q = dot(tex[..., 2], mc)
+    (r0, r1, r2), (g0, g1, g2), (b0, b1, b2) = _NTSC_YIQ2RGB_COLS
+    rgb = [
+        Y * r0 + I * r1 + Q * r2,
+        Y * g0 + I * g1 + Q * g2,
+        Y * b0 + I * b1 + Q * b2,
+    ]
+    if gamma is not None:
+        rgb = [_glsl_pow(c, gamma) for c in rgb]
+    if row_idx is not None:
+        # NEAREST row expansion (exact _axis_matrix index math) as a
+        # concrete-index row gather. NOT a one-hot matmul: the gamma
+        # pow of negative FIR values yields NaN (llvmpipe semantics,
+        # matched by _glsl_pow), and 0*NaN in a matmul would smear one
+        # row's NaN into every output row, where the evaluator keeps it
+        # local to its row (measured 28 dB vs GL before this fix).
+        idx = jnp.asarray(row_idx, jnp.int32)
+        rgb = [jnp.take(c, idx, axis=0) for c in rgb]
+        return jnp.stack(
+            rgb + [jnp.ones((oh, ow), jnp.float32)], axis=-1
+        )
+    return jnp.stack(rgb + [jnp.ones((h, ow), jnp.float32)], axis=-1)
+
+
+def _ntsc_pass2_2phase(ctx, sh):
+    return _ntsc_pass2_2phase_kernel(ctx, sh, gamma=None)
+
+
+def _ntsc_pass2_2phase_gamma(ctx, sh):
+    return _ntsc_pass2_2phase_kernel(
+        ctx, sh, gamma=np.float32(np.float32(2.5) / np.float32(2.0))
+    )
+
+
+def _ntsc_pass2_2phase_linear(ctx, sh):
+    return _ntsc_pass2_2phase_kernel(ctx, sh, gamma=np.float32(2.4))
+
+
+def _ntsc_pass1_composite_2phase(ctx, sh):
+    """ntsc-pass1-composite-2phase.glsl (ntsc/ntsc-320px.glslp pass 0)."""
+    return _ntsc_pass1_2phase_kernel(ctx, sh, svideo=False)
+
+
+def _ntsc_pass1_svideo_2phase(ctx, sh):
+    """ntsc-pass1-svideo-2phase.glsl (ntsc/ntsc-320px-svideo.glslp)."""
+    return _ntsc_pass1_2phase_kernel(ctx, sh, svideo=True)
+
+
 _REGISTRY = {
     "crt-mattias.glsl": _mattias_kernel,
     "xbr-lv2.glsl": _xbr_lv2_kernel,
+    "ntsc-pass1-composite-2phase.glsl": _ntsc_pass1_composite_2phase,
+    "ntsc-pass1-svideo-2phase.glsl": _ntsc_pass1_svideo_2phase,
+    "ntsc-pass2-2phase.glsl": _ntsc_pass2_2phase,
+    "ntsc-pass2-2phase-gamma.glsl": _ntsc_pass2_2phase_gamma,
+    "ntsc-pass2-2phase-linear.glsl": _ntsc_pass2_2phase_linear,
 }
 
 
