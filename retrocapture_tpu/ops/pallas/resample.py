@@ -82,6 +82,91 @@ def _make_kernel_y(c: int):
     return kernel
 
 
+def _xphase_plan(ax_np: np.ndarray, w: int, ow: int):
+    """Detect the integer-upscale phase structure of a LINEAR x-axis
+    resampling matrix: ow == r*w and every output column X = r*k + p
+    reads source texels {k + d_p, k + d_p + 1} (post-clamp). Returns
+    (r, d [r] of {-1, 0}, w0 [r, w], w1 [r, w]) with the matrix's OWN
+    per-column weights (they wobble in the last ulps across k from the
+    f32 u-coordinate rounding, so they ride as vectors, not scalars),
+    or None when the structure doesn't hold.
+
+    The final 1080p blit is the bandwidth/FLOP-dominant tensor of most
+    chains, and its dense [w, ow] matmul costs inner-dim*ow MXU work
+    for what is a 2-tap FMA per output pixel: the phase form cuts the
+    x-resample from ~9 GFLOP/frame (640->1920, 3ch) to ~0.05."""
+    if w < 2 or ow % w != 0:
+        return None
+    r = ow // w
+    if r < 2:
+        return None
+    d = []
+    w0 = np.zeros((r, w), np.float32)
+    w1 = np.zeros((r, w), np.float32)
+    for p in range(r):
+        rows = ax_np[p::r]  # [w, w]
+        # Phase tap offset from an interior row.
+        ki = min(max(2, w // 2), w - 2)
+        nz = np.nonzero(rows[ki])[0]
+        if len(nz) == 0 or len(nz) > 2:
+            return None
+        dp = int(nz[0] - ki)
+        if dp not in (-1, 0):
+            return None
+        d.append(dp)
+        for k in range(w):
+            j0 = min(max(k + dp, 0), w - 1)
+            j1 = min(max(k + dp + 1, 0), w - 1)
+            nzk = np.nonzero(rows[k])[0]
+            if not set(nzk.tolist()) <= {j0, j1}:
+                return None
+            if j0 == j1:
+                # Both taps clamp to the same texel: matrix accumulated
+                # w0+w1 there; split as (sum, 0) so the kernel's
+                # w0*t0 + w1*t1 reproduces the exact matrix value
+                # (t0 == t1, w1 term is 0).
+                w0[p, k] = rows[k][j0]
+                w1[p, k] = 0.0
+            else:
+                w0[p, k] = rows[k][j0]
+                w1[p, k] = rows[k][j1]
+    return r, d, w0, w1
+
+
+def _make_kernel_xphase(c: int, r: int, d, has_y: bool):
+    """Fused y-matmul + phase-form x-resample + quantize. Outputs c*r
+    uint8 [T, W] planes (phase-minor interleave happens in the wrapper
+    reshape)."""
+
+    def kernel(*refs):
+        i = 0
+        ay = None
+        if has_y:
+            ay = refs[0][:]  # [T, H]
+            i = 1
+        w0 = refs[i][:]  # [r, W]
+        w1 = refs[i + 1][:]
+        tex_refs = refs[i + 2 : i + 2 + c]
+        out_refs = refs[i + 2 + c :]
+        for ch in range(c):
+            a = tex_refs[ch][:]
+            if has_y:
+                a = jnp.dot(
+                    ay, a,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            # Shifted views with edge clamp: am1[k] = a[k-1], ap1[k] = a[k+1].
+            am1 = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+            ap1 = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+            for p in range(r):
+                t0, t1 = (am1, a) if d[p] == -1 else (a, ap1)
+                b = t0 * w0[p : p + 1, :] + t1 * w1[p : p + 1, :]
+                out_refs[ch * r + p][:] = _quant(b)
+
+    return kernel
+
+
 def _make_kernel_none(c: int):
     def kernel(*refs):
         tex_refs = refs[:c]
@@ -110,6 +195,76 @@ def _einsum_fallback(tex, ay, ax):
             "pt,otc->opc", ax, tex, preferred_element_type=jnp.float32, precision=hi
         )
     return jnp.round(jnp.clip(tex, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def _resample_u8_xphase(tex, ay, plan, interpret: bool = False) -> jax.Array:
+    """Phase-form x-resample (integer LINEAR upscale) fused with the
+    optional y-matmul and the uint8 pack. tex [H, W, C] f32 → u8
+    [OH, r*W, C]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w, c = tex.shape
+    r, d, w0, w1 = plan
+    oh = h if ay is None else ay.shape[0]
+    oh_pad = ((oh + _TILE_ROWS - 1) // _TILE_ROWS) * _TILE_ROWS
+    planes = [tex[:, :, ch] for ch in range(c)]
+    params = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    grid = (oh_pad // _TILE_ROWS,)
+    # Weight tables padded to the 8-sublane f32 tile so per-phase row
+    # slices stay within a legal VMEM ref.
+    rp = ((r + 7) // 8) * 8
+    w0 = np.pad(w0, ((0, rp - r), (0, 0)))
+    w1 = np.pad(w1, ((0, rp - r), (0, 0)))
+    out_specs = [
+        pl.BlockSpec((_TILE_ROWS, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for _ in range(c * r)
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((oh_pad, w), jnp.uint8) for _ in range(c * r)
+    ]
+    wspecs = [
+        pl.BlockSpec((rp, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rp, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if ay is not None:
+        if oh_pad != oh:
+            ay = jnp.pad(ay, ((0, oh_pad - oh), (0, 0)))
+        kern = _make_kernel_xphase(c, r, d, True)
+        in_specs = [
+            pl.BlockSpec((_TILE_ROWS, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + wspecs + [
+            pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(c)
+        ]
+        args = (ay, jnp.asarray(w0), jnp.asarray(w1), *planes)
+    else:
+        if oh_pad != oh:
+            planes = [jnp.pad(p, ((0, oh_pad - oh), (0, 0))) for p in planes]
+        kern = _make_kernel_xphase(c, r, d, False)
+        in_specs = wspecs + [
+            pl.BlockSpec((_TILE_ROWS, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(c)
+        ]
+        args = (jnp.asarray(w0), jnp.asarray(w1), *planes)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=params,
+        interpret=interpret,
+    )(*args)
+    # Interleave: phases are the minor step of X (X = r*k + p): stack
+    # phase-minor then flatten [oh, w, r] -> [oh, r*w] (contiguous), then
+    # channel-minor stack.
+    chans = []
+    for ch in range(c):
+        ph = jnp.stack(outs[ch * r : (ch + 1) * r], axis=-1)  # [ohp, w, r]
+        chans.append(ph.reshape(oh_pad, w * r))
+    out = jnp.stack(chans, axis=-1)
+    return out[:oh] if oh_pad != oh else out
 
 
 def resample_u8(
@@ -210,6 +365,8 @@ def blit_u8(tex: jax.Array, vw: int, vh: int) -> jax.Array:
     product — PBOManager.cpp:86-170)."""
     from retrocapture_tpu.ops.sampling import _axis_is_identity, _axis_matrix_device
 
+    from retrocapture_tpu.ops.sampling import _axis_matrix
+
     h, w, _ = tex.shape
     u_row = ((np.arange(vw, dtype=np.float64) + 0.5) / np.float64(vw)).astype(
         np.float32
@@ -217,14 +374,18 @@ def blit_u8(tex: jax.Array, vw: int, vh: int) -> jax.Array:
     v_col = ((np.arange(vh, dtype=np.float64) + 0.5) / np.float64(vh)).astype(
         np.float32
     )
-    ax = (
-        None
-        if _axis_is_identity(u_row, w, True, "clamp_to_edge")
-        else _axis_matrix_device(u_row, w, True, "clamp_to_edge")
-    )
     ay = (
         None
         if _axis_is_identity(v_col, h, True, "clamp_to_edge")
         else _axis_matrix_device(v_col, h, True, "clamp_to_edge")
     )
+    if not _axis_is_identity(u_row, w, True, "clamp_to_edge"):
+        if pallas_available():
+            ax_np = _axis_matrix(u_row, w, True, "clamp_to_edge")
+            plan = _xphase_plan(ax_np, w, vw)
+            if plan is not None:
+                return _resample_u8_xphase(tex, ay, plan)
+        ax = _axis_matrix_device(u_row, w, True, "clamp_to_edge")
+    else:
+        ax = None
     return resample_u8(tex, ay, ax)
