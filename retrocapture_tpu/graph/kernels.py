@@ -134,7 +134,11 @@ def _mattias_kernel(ctx, sh):
         xo = [np.float32(offs * k) / np.float32(ow) for k in (-2.0, -1.0, 0.0, 1.0, 2.0)]
         yo = [np.float32(offs * k) / np.float32(oh) for k in (-2.0, -1.0, 0.0, 1.0, 2.0)]
         groups.append(BlurGroup(ch, bx, by, xo, yo, _MATTIAS_W, scale))
-    if not interpret and not blur_groups_fits(
+    # The fits/drift gate runs in interpret mode too: a drift-gate
+    # rejection inside _blur_groups_call_v2 raises ValueError, which the
+    # engine net degrades to passthrough — silently wrong frames where
+    # the evaluator fallback renders correctly (r4 advisor finding).
+    if not blur_groups_fits(
         (h, w, 3), (oh, ow), groups, max_dudv=_MATTIAS_MAX_DUDV
     ):
         return None
@@ -510,8 +514,14 @@ def _xbr_lv2_kernel(ctx, sh):
         xbr_epilogue_fits,
     )
 
-    if mode == "interpret" or (
-        mode == "epilogue" and xbr_epilogue_fits(w, ow, oh)
+    # RCTPU_XBR selects the XLA tail: "dense" forces the one-hot-matmul
+    # tail, "phase" forces the phase-factored tail (and, in interpret
+    # mode, skips the Pallas epilogue so CPU tests can certify the XLA
+    # tails directly). Default "auto": epilogue rules below, then
+    # phase-factored when the geometry allows, else dense.
+    xbr_tail = os.environ.get("RCTPU_XBR", "auto")
+    if xbr_tail not in ("dense", "phase") and (
+        mode == "interpret" or (mode == "epilogue" and xbr_epilogue_fits(w, ow, oh))
     ):
         try:
             return xbr_epilogue(
@@ -525,78 +535,128 @@ def _xbr_lv2_kernel(ctx, sh):
             if mode == "interpret":
                 raise
 
-    bxi = jax.lax.optimization_barrier(
-        jnp.asarray(np.clip(bx, 0, w - 1).astype(np.int32))
+    def decode_flags(ucode):
+        """Unpack the 5 binary vec4 flags from the 4 integer-code planes
+        (any broadcastable layout)."""
+        edri_f, edr_f, edrl_f, edru_f, px_f = [], [], [], [], []
+        for ci in range(4):
+            r = ucode[ci]
+            edri_f.append(jnp.remainder(r, 2.0))
+            r = jnp.floor(r * 0.5)
+            edr_f.append(jnp.remainder(r, 2.0))
+            r = jnp.floor(r * 0.5)
+            edrl_f.append(jnp.remainder(r, 2.0))
+            r = jnp.floor(r * 0.5)
+            edru_f.append(jnp.remainder(r, 2.0))
+            px_f.append(jnp.floor(r * 0.5))
+        return edri_f, edr_f, edrl_f, edru_f, px_f
+
+    def blend(E, Hc, Fc, Bc, Dc, flags, fpyj, fpxj):
+        """The fp-ramp blend (fx45/fx30/fx60/fx45i + px mixes + final
+        res1/res2 select), layout-agnostic: operands broadcast against
+        the fpyj/fpxj grids, so the same op sequence runs at [oh, ow]
+        (dense) or [oh, w, r] (phase-factored) with identical per-pixel
+        values and order."""
+        edri_f, edr_f, edrl_f, edru_f, px_f = flags
+        delta = np.float32(1.0) / _XBR_SCALE
+        delta_l = np.array([0.5, 1.0, 0.5, 1.0], np.float32) / _XBR_SCALE
+        delta_u = np.array([1.0, 0.5, 1.0, 0.5], np.float32) / _XBR_SCALE
+        d4v = np.full(4, delta, np.float32)
+
+        def ramp(A, B, C, d, ci, extra=0.0):
+            x = (
+                A[ci] * fpyj + B[ci] * fpxj + np.float32(d[ci] - C[ci] - extra)
+            ) * np.float32(1.0 / (2.0 * d[ci]))
+            return jnp.clip(x, 0.0, 1.0)
+
+        maximos = []
+        for ci in range(4):
+            m = jnp.maximum(
+                jnp.maximum(
+                    edrl_f[ci] * ramp(_XBR_AX, _XBR_BX, _XBR_CX, delta_l, ci),
+                    edru_f[ci] * ramp(_XBR_AY, _XBR_BY, _XBR_CY, delta_u, ci),
+                ),
+                jnp.maximum(
+                    edr_f[ci] * ramp(_XBR_AO, _XBR_BO, _XBR_CO, d4v, ci),
+                    edri_f[ci]
+                    * ramp(_XBR_AO, _XBR_BO, _XBR_CO, d4v, ci, extra=0.25),
+                ),
+            )
+            maximos.append(m)
+
+        def mixc(a, b, m):  # per-channel-plane mix
+            return [ac + (bc - ac) * m for ac, bc in zip(a, b)]
+
+        Tx = mixc(Hc, Fc, px_f[0])
+        Tz = mixc(Bc, Dc, px_f[2])
+        Ty = mixc(Fc, Bc, px_f[1])
+        Tw = mixc(Dc, Hc, px_f[3])
+        res1 = mixc(mixc(E, Tx, maximos[0]), Tz, maximos[2])
+        res2 = mixc(mixc(E, Ty, maximos[1]), Tw, maximos[3])
+
+        def c_df(c1, c2):
+            return (
+                jnp.abs(c1[0] - c2[0])
+                + jnp.abs(c1[1] - c2[1])
+                + jnp.abs(c1[2] - c2[2])
+            )
+
+        sel = (c_df(E, res2) >= c_df(E, res1)).astype(jnp.float32)
+        return mixc(res1, res2, sel)
+
+    inv = np.float32(1.0 / 255.0)
+    bx_c = np.clip(bx, 0, w - 1)
+
+    # Phase-factored tail: when the x upsample is an exact integer-ratio
+    # column replication (bx == repeat(arange(w), r) — true for the
+    # 320->1920 bench geometry), the dense one-hot matmul materializes a
+    # [19, oh, ow] f32 tensor (~158 MB/frame at 1080p — the batch-64 HBM
+    # OOM cliff, bench.py r2-r4). Instead factor the output grid as
+    # W = r*k + p and run decode + ramps + blend as ONE fused
+    # elementwise program in [oh, w, r] space: colors/flags broadcast
+    # from [oh, w, 1], the fp ramps keep their exact per-column f32
+    # values via fpx.reshape(w, r), and the contiguous reshape
+    # [oh, w, r] -> [oh, ow] is the identity map onto output columns.
+    # Bit-identical to the dense path (replication preserves every
+    # operand value; the op sequence is shared in blend()).
+    # RCTPU_XBR=dense forces the old tail for A/B.
+    rr = ow // w if ow % w == 0 else 0
+    phase_ok = (
+        xbr_tail != "dense"
+        and rr >= 1
+        and bool(
+            np.array_equal(bx_c, np.repeat(np.arange(w, dtype=bx_c.dtype), rr))
+        )
     )
+    if phase_ok:
+        E = [E255[..., i, None] * inv for i in range(3)]  # [oh, w, 1]
+        Hc = [H255[..., i, None] * inv for i in range(3)]
+        Fc = [F255[..., i, None] * inv for i in range(3)]
+        Bc = [B255[..., i, None] * inv for i in range(3)]
+        Dc = [D255[..., i, None] * inv for i in range(3)]
+        flags = decode_flags([code[..., ci, None] for ci in range(4)])
+        fpyj = jnp.asarray(fpy)[:, None, None]  # [oh, 1, 1]
+        fpxj = jnp.asarray(fpx.reshape(w, rr))[None, :, :]  # [1, w, r]
+        res = blend(E, Hc, Fc, Bc, Dc, flags, fpyj, fpxj)
+        res = [p.reshape(oh, ow) for p in res]
+        return jnp.stack(res + [jnp.ones((oh, ow), jnp.float32)], axis=-1)
+
+    bxi = jax.lax.optimization_barrier(jnp.asarray(bx_c.astype(np.int32)))
     Ax = (jnp.arange(w, dtype=jnp.int32)[None, :] == bxi[:, None]).astype(
         jnp.float32
     )  # [ow, w]
     up = jnp.einsum("chs,Ws->chW", S, Ax, preferred_element_type=jnp.float32)
 
-    inv = np.float32(1.0 / 255.0)
     E = [up[i] * inv for i in range(3)]
     Hc = [up[3 + i] * inv for i in range(3)]
     Fc = [up[6 + i] * inv for i in range(3)]
     Bc = [up[9 + i] * inv for i in range(3)]
     Dc = [up[12 + i] * inv for i in range(3)]
-    ucode = [up[15 + i] for i in range(4)]
-    edri_f, edr_f, edrl_f, edru_f, px_f = [], [], [], [], []
-    for ci in range(4):
-        r = ucode[ci]
-        edri_f.append(jnp.remainder(r, 2.0))
-        r = jnp.floor(r * 0.5)
-        edr_f.append(jnp.remainder(r, 2.0))
-        r = jnp.floor(r * 0.5)
-        edrl_f.append(jnp.remainder(r, 2.0))
-        r = jnp.floor(r * 0.5)
-        edru_f.append(jnp.remainder(r, 2.0))
-        px_f.append(jnp.floor(r * 0.5))
-
+    flags = decode_flags([up[15 + i] for i in range(4)])
     # fp ramps: separable 1D outer sums, clamped (fx45/fx30/fx60/fx45i).
     fpyj = jnp.asarray(fpy)[:, None]
     fpxj = jnp.asarray(fpx)[None, :]
-    delta = np.float32(1.0) / _XBR_SCALE
-    delta_l = np.array([0.5, 1.0, 0.5, 1.0], np.float32) / _XBR_SCALE
-    delta_u = np.array([1.0, 0.5, 1.0, 0.5], np.float32) / _XBR_SCALE
-    d4v = np.full(4, delta, np.float32)
-
-    def ramp(A, B, C, d, ci, extra=0.0):
-        x = (
-            A[ci] * fpyj + B[ci] * fpxj + np.float32(d[ci] - C[ci] - extra)
-        ) * np.float32(1.0 / (2.0 * d[ci]))
-        return jnp.clip(x, 0.0, 1.0)
-
-    maximos = []
-    for ci in range(4):
-        m = jnp.maximum(
-            jnp.maximum(
-                edrl_f[ci] * ramp(_XBR_AX, _XBR_BX, _XBR_CX, delta_l, ci),
-                edru_f[ci] * ramp(_XBR_AY, _XBR_BY, _XBR_CY, delta_u, ci),
-            ),
-            jnp.maximum(
-                edr_f[ci] * ramp(_XBR_AO, _XBR_BO, _XBR_CO, d4v, ci),
-                edri_f[ci] * ramp(_XBR_AO, _XBR_BO, _XBR_CO, d4v, ci, extra=0.25),
-            ),
-        )
-        maximos.append(m)
-
-    def mixc(a, b, m):  # per-channel-plane mix
-        return [ac + (bc - ac) * m for ac, bc in zip(a, b)]
-
-    Tx = mixc(Hc, Fc, px_f[0])
-    Tz = mixc(Bc, Dc, px_f[2])
-    Ty = mixc(Fc, Bc, px_f[1])
-    Tw = mixc(Dc, Hc, px_f[3])
-    res1 = mixc(mixc(E, Tx, maximos[0]), Tz, maximos[2])
-    res2 = mixc(mixc(E, Ty, maximos[1]), Tw, maximos[3])
-
-    def c_df(c1, c2):
-        return (
-            jnp.abs(c1[0] - c2[0]) + jnp.abs(c1[1] - c2[1]) + jnp.abs(c1[2] - c2[2])
-        )
-
-    sel = (c_df(E, res2) >= c_df(E, res1)).astype(jnp.float32)
-    res = mixc(res1, res2, sel)
+    res = blend(E, Hc, Fc, Bc, Dc, flags, fpyj, fpxj)
     return jnp.stack(res + [jnp.ones((oh, ow), jnp.float32)], axis=-1)
 
 
@@ -662,7 +722,9 @@ def _ntsc_pass1_2phase_kernel(ctx, sh, *, svideo: bool):
         return None  # field enumeration relies on fc in {0, 1}
     ow, oh = ctx.out_size
     h, w = sh.in_h, sh.in_w
-    if oh != h or ow % w != 0 or ow // w < 1:
+    # ow % w == 0 (with ow >= 1) already implies ow >= w, so no separate
+    # minimum-ratio clause (r4 advisor: the old `ow // w < 1` was dead).
+    if oh != h or ow % w != 0:
         return None
     r = ow // w
     tex = ctx.input_binding.tex

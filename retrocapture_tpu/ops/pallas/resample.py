@@ -27,6 +27,7 @@ the (raised) VMEM budget.
 
 from __future__ import annotations
 
+import os
 
 import jax
 import jax.numpy as jnp
@@ -165,6 +166,25 @@ def _make_kernel_xphase(c: int, r: int, d, has_y: bool):
                 out_refs[ch * r + p][:] = _quant(b)
 
     return kernel
+
+
+def _xphase_fits(tex_shape, ay, plan) -> bool:
+    """VMEM working-set guard for the xphase kernel, mirroring
+    resample_u8's own estimate: blit_u8 must not dispatch a geometry
+    whose resident set raises an uncatchable Mosaic error instead of
+    degrading to the einsum path (r4 advisor finding). ay-present keeps
+    full [h, w] source planes resident; ay-None tiles the source rows."""
+    h, w, c = tex_shape
+    r, _, _, _ = plan
+    rp = ((r + 7) // 8) * 8
+    weights = 2 * rp * w * 4
+    out_tiles = 2 * c * r * _TILE_ROWS * w  # u8, double-buffered
+    scratch = 3 * _TILE_ROWS * w * 4  # a/am1/ap1 per live channel
+    if ay is not None:
+        resident = 2 * h * w * c * 4 + 2 * _TILE_ROWS * h * 4
+    else:
+        resident = 2 * _TILE_ROWS * w * c * 4
+    return resident + weights + out_tiles + scratch <= _VMEM_LIMIT - 8 * 2**20
 
 
 def _make_kernel_none(c: int):
@@ -380,10 +400,11 @@ def blit_u8(tex: jax.Array, vw: int, vh: int) -> jax.Array:
         else _axis_matrix_device(v_col, h, True, "clamp_to_edge")
     )
     if not _axis_is_identity(u_row, w, True, "clamp_to_edge"):
-        if pallas_available():
+        # RCTPU_XPHASE=off forces the dense matmul path (on-chip A/B).
+        if pallas_available() and os.environ.get("RCTPU_XPHASE", "on") != "off":
             ax_np = _axis_matrix(u_row, w, True, "clamp_to_edge")
             plan = _xphase_plan(ax_np, w, vw)
-            if plan is not None:
+            if plan is not None and _xphase_fits(tex.shape, ay, plan):
                 return _resample_u8_xphase(tex, ay, plan)
         ax = _axis_matrix_device(u_row, w, True, "clamp_to_edge")
     else:

@@ -52,6 +52,56 @@ def test_xbr_kernel_matches_evaluator(h, w, vw, vh):
     assert err <= 1.5 / 255.0, err
 
 
+def _run_tail(viewport, frame, tail):
+    old = os.environ.get("RCTPU_XBR")
+    os.environ["RCTPU_XBR"] = tail
+    try:
+        return _run(viewport, frame, "interpret")
+    finally:
+        if old is None:
+            os.environ.pop("RCTPU_XBR", None)
+        else:
+            os.environ["RCTPU_XBR"] = old
+
+
+@pytest.mark.parametrize(
+    "h,w,vw,vh",
+    [
+        (48, 64, 384, 288),   # x ratio 6, y ratio 6 (the bench shape class)
+        (60, 80, 480, 270),   # x ratio 6, y ratio 4.5 (f32 row flips)
+        (40, 64, 128, 120),   # x ratio 2, y ratio 3
+    ],
+)
+def test_xbr_phase_tail_matches_dense(h, w, vw, vh):
+    """The phase-factored tail (RCTPU_XBR=phase) must be bit-identical
+    to the dense one-hot-matmul tail it replaces: the integer-ratio x
+    upsample is an exact column replication, so factoring the blend to
+    [oh, w, r] changes memory layout only (the batch-64 HBM cliff fix),
+    not a single per-pixel value."""
+    rng = np.random.default_rng(11)
+    frame = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    out_p = _run_tail((vw, vh), frame, "phase")
+    out_d = _run_tail((vw, vh), frame, "dense")
+    assert out_p.shape == out_d.shape == (vh, vw, 3)
+    assert np.array_equal(out_p, out_d), (
+        f"max |d| = {np.abs(out_p - out_d).max()}"
+    )
+    # and the shared gate vs the evaluator still holds
+    out_e = _run((vw, vh), frame, "off")
+    assert np.abs(out_p - out_e).max() <= 1.5 / 255.0
+
+
+def test_xbr_phase_tail_rejects_non_integer_ratio():
+    """Non-integer x ratios must take the dense tail even when phase is
+    requested (the gate is structural, not env-driven)."""
+    rng = np.random.default_rng(13)
+    frame = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    # 64 -> 250 is not an integer ratio.
+    out_p = _run_tail((250, 144), frame, "phase")
+    out_d = _run_tail((250, 144), frame, "dense")
+    assert np.array_equal(out_p, out_d)
+
+
 def test_xbr_kernel_small_details_branch():
     """small_details=1 uses the weighted_distance/Y-luma variant whose
     step() comparisons sit on exact ties for random input — f32
