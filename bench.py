@@ -35,8 +35,10 @@ CONFIGS = [
     # Batch sizes from tools/profile_chain.py batch-scaling (2026-08-18):
     # throughput configs saturate at 128 (scanline 1911->3411 fps,
     # feedback 2604->3410, ntsc 759->821); mattias is VPU-bound and flat
-    # in batch; xbr-lv2 OOMs HBM at 64 (its 21 materialized 1080p tap
-    # planes scale with batch).
+    # in batch. xbr-lv2 runs batch 64: the r5 planar edge-rule section +
+    # requant'd tap planes fit comfortably (probe_xbr_batch 2026-08-21:
+    # 695.8 fps at 64 vs 686.8 at 32; batch >= 96 is rejected by the
+    # remote compile helper for every tail form — infra, not HBM).
     #
     # Order is cheapest-cold-compile-first (docs/compile_time_r4.md:
     # feedback 3.9 s / ntsc 6.6 s / scanline 8.5 s / xbr 16.6 s /
@@ -45,7 +47,7 @@ CONFIGS = [
     ("feedback-ghost-nv12", REPO / "assets/presets/feedback-ghost.glslp", (240, 320), 128, "nv12"),
     ("ntsc-320px", SHADERS / "ntsc/ntsc-320px.glslp", (240, 320), 128, "rgb"),
     ("scanline-320", SHADERS / "interpolation/sharp-bilinear-scanlines.glslp", (240, 320), 128, "rgb"),
-    ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 32, "rgb"),
+    ("xbr-lv2-1080p", SHADERS / "xbr/xbr-lv2.glslp", (240, 320), 64, "rgb"),
     # 240p source (the CRT-shader operating point: the app feeds CRT
     # chains a logical-resolution downscale, FrameCapturePipeline.cpp:142)
     # rendered at a 1080p viewport.

@@ -405,13 +405,19 @@ def _xbr_lv2_kernel(ctx, sh):
 
     L = {name: lum(v) for name, v in t.items()}
 
+    # "vec4"s ride as LISTS of four [oh, w] planes, never stacked: a
+    # stacked [oh, w, 4] tensor puts 4 on the TPU lane dimension
+    # (4/128-lane vregs for the whole edge-rule section — measured
+    # ~0.9 ms/frame of the chain's 2.0 ms at the bench point). Per-pixel
+    # values and op order are identical to the stacked form; only the
+    # memory layout of the fused loops changes.
     def v4(*names):
-        return jnp.stack([L[n] for n in names], axis=-1)
+        return [L[n] for n in names]
 
     b4 = v4("B", "D", "H", "F")
     c4 = v4("C", "A", "G", "I")
     d4 = v4("D", "H", "F", "B")
-    e4 = jnp.stack([L["E"]] * 4, axis=-1)
+    e4 = [L["E"]] * 4
     f4_ = v4("F", "B", "D", "H")
     g4 = v4("G", "I", "C", "A")
     h4 = v4("H", "F", "B", "D")
@@ -427,59 +433,114 @@ def _xbr_lv2_kernel(ctx, sh):
         def lumY(x):
             return x[..., 0] * Y[0] + x[..., 1] * Y[1] + x[..., 2] * Y[2]
 
-        i4 = jnp.stack([lumY(t[n]) for n in ("I4", "C1", "A0", "G5")], axis=-1)
-        i5 = jnp.stack([lumY(t[n]) for n in ("I5", "C4", "A1", "G0")], axis=-1)
-        h5 = jnp.stack([lumY(t[n]) for n in ("H5", "F4", "B1", "D0")], axis=-1)
-    f44 = jnp.zeros_like(i4)  # `vec4 f4` is never assigned (zero-init)
+        i4 = [lumY(t[n]) for n in ("I4", "C1", "A0", "G5")]
+        i5 = [lumY(t[n]) for n in ("I5", "C4", "A1", "G0")]
+        h5 = [lumY(t[n]) for n in ("H5", "F4", "B1", "D0")]
+    f44 = [jnp.zeros_like(p) for p in i4]  # `vec4 f4` never assigned
 
     def df(a, b):
-        return jnp.abs(a - b)
+        return [jnp.abs(x - y) for x, y in zip(a, b)]
 
     def diff(a, b):
-        return (a != b).astype(jnp.float32)
+        return [(x != y).astype(jnp.float32) for x, y in zip(a, b)]
 
     def eq(a, b):
-        return (df(a, b) <= eq_thr).astype(jnp.float32)
+        return [
+            (jnp.abs(x - y) <= eq_thr).astype(jnp.float32) for x, y in zip(a, b)
+        ]
 
     def neq(a, b):
-        return np.float32(1.0) - eq(a, b)
+        return [np.float32(1.0) - x for x in eq(a, b)]
 
-    irlv0 = diff(e4, f4_) * diff(e4, h4)
+    def lmul(*ls):
+        out = ls[0]
+        for nxt in ls[1:]:
+            out = [x * y for x, y in zip(out, nxt)]
+        return out
+
+    def ladd(*ls):
+        out = ls[0]
+        for nxt in ls[1:]:
+            out = [x + y for x, y in zip(out, nxt)]
+        return out
+
+    def smul(s, a):
+        return [np.float32(s) * x for x in a]
+
+    irlv0 = lmul(diff(e4, f4_), diff(e4, h4))
     # CORNER_C (the compiled-in variant, xbr-lv2.glsl:41,307-309)
-    irlv1 = irlv0 * (
-        neq(f4_, b4) * neq(f4_, c4)
-        + neq(h4, d4) * neq(h4, g4)
-        + eq(e4, i4_) * (neq(f4_, f44) * neq(f4_, i4) + neq(h4, h5) * neq(h4, i5))
-        + eq(e4, g4)
-        + eq(e4, c4)
+    irlv1 = lmul(
+        irlv0,
+        ladd(
+            lmul(neq(f4_, b4), neq(f4_, c4)),
+            lmul(neq(h4, d4), neq(h4, g4)),
+            lmul(
+                eq(e4, i4_),
+                ladd(lmul(neq(f4_, f44), neq(f4_, i4)), lmul(neq(h4, h5), neq(h4, i5))),
+            ),
+            eq(e4, g4),
+            eq(e4, c4),
+        ),
     )
-    irlv2l = diff(e4, g4) * diff(d4, g4)
-    irlv2u = diff(e4, c4) * diff(b4, c4)
+    irlv2l = lmul(diff(e4, g4), diff(d4, g4))
+    irlv2u = lmul(diff(e4, c4), diff(b4, c4))
 
     if small < 0.5:
-        wd1 = df(e4, c4) + df(e4, g4) + df(i4_, h5) + df(i4_, f44) + 4.0 * df(h4, f4_)
-        wd2 = df(h4, d4) + df(h4, i5) + df(f4_, i4) + df(f4_, b4) + 4.0 * df(e4, i4_)
-    else:
-        wd1 = (
-            df(e4, c4) + df(e4, g4) + df(i4_, f44) + df(i4_, h5)
-            + df(b4, d4) + df(i4, i5) + 2.0 * df(h4, f4_)
+        wd1 = ladd(
+            df(e4, c4), df(e4, g4), df(i4_, h5), df(i4_, f44),
+            smul(4.0, df(h4, f4_)),
         )
-        wd2 = (
-            df(h4, d4) + df(h4, i5) + df(f4_, b4) + df(f4_, i4)
-            + df(g4, h5) + df(c4, f44) + 2.0 * df(e4, i4_)
+        wd2 = ladd(
+            df(h4, d4), df(h4, i5), df(f4_, i4), df(f4_, b4),
+            smul(4.0, df(e4, i4_)),
+        )
+    else:
+        wd1 = ladd(
+            df(e4, c4), df(e4, g4), df(i4_, f44), df(i4_, h5),
+            df(b4, d4), df(i4, i5), smul(2.0, df(h4, f4_)),
+        )
+        wd2 = ladd(
+            df(h4, d4), df(h4, i5), df(f4_, b4), df(f4_, i4),
+            df(g4, h5), df(c4, f44), smul(2.0, df(e4, i4_)),
         )
 
-    edri = (wd2 >= wd1).astype(jnp.float32) * irlv0
-    edr = (wd2 >= wd1 + np.float32(0.1)).astype(jnp.float32) * (
-        irlv1 >= np.float32(0.5)
-    ).astype(jnp.float32)
-    edr_l = (df(h4, c4) >= lv2_cf * df(f4_, g4)).astype(jnp.float32) * irlv2l * edr
-    edr_u = (df(f4_, g4) >= lv2_cf * df(h4, c4)).astype(jnp.float32) * irlv2u * edr
-    px = (df(e4, h4) >= df(e4, f4_)).astype(jnp.float32)
+    edri = lmul([(y >= x).astype(jnp.float32) for x, y in zip(wd1, wd2)], irlv0)
+    edr = [
+        (y >= x + np.float32(0.1)).astype(jnp.float32)
+        * (z >= np.float32(0.5)).astype(jnp.float32)
+        for x, y, z in zip(wd1, wd2, irlv1)
+    ]
+    edr_l = lmul(
+        [
+            (x >= lv2_cf * y).astype(jnp.float32)
+            for x, y in zip(df(h4, c4), df(f4_, g4))
+        ],
+        irlv2l,
+        edr,
+    )
+    edr_u = lmul(
+        [
+            (x >= lv2_cf * y).astype(jnp.float32)
+            for x, y in zip(df(f4_, g4), df(h4, c4))
+        ],
+        irlv2u,
+        edr,
+    )
+    px = [
+        (x >= y).astype(jnp.float32) for x, y in zip(df(e4, h4), df(e4, f4_))
+    ]
 
     # Pack the five binary vec4 flags into 4 integer-code channels
     # (0..31, exact in f32) so the upsample moves 4 planes, not 20.
-    code = edri + 2.0 * edr + 4.0 * edr_l + 8.0 * edr_u + 16.0 * px
+    code_planes = [
+        edri[ci]
+        + 2.0 * edr[ci]
+        + 4.0 * edr_l[ci]
+        + 8.0 * edr_u[ci]
+        + 16.0 * px[ci]
+        for ci in range(4)
+    ]
+    code = jnp.stack(code_planes, axis=-1)
 
     # Handoff to full width: stack the 19 per-[oh, w] planes
     # channel-major and contract the x axis with a one-hot column-select
@@ -607,38 +668,41 @@ def _xbr_lv2_kernel(ctx, sh):
     inv = np.float32(1.0 / 255.0)
     bx_c = np.clip(bx, 0, w - 1)
 
-    # Phase-factored tail: when the x upsample is an exact integer-ratio
-    # column replication (bx == repeat(arange(w), r) — true for the
-    # 320->1920 bench geometry), the dense one-hot matmul materializes a
-    # [19, oh, ow] f32 tensor (~158 MB/frame at 1080p — the batch-64 HBM
-    # OOM cliff, bench.py r2-r4). Instead factor the output grid as
-    # W = r*k + p and run decode + ramps + blend as ONE fused
-    # elementwise program in [oh, w, r] space: colors/flags broadcast
-    # from [oh, w, 1], the fp ramps keep their exact per-column f32
-    # values via fpx.reshape(w, r), and the contiguous reshape
-    # [oh, w, r] -> [oh, ow] is the identity map onto output columns.
+    # Phase-replicated tail (RCTPU_XBR=phase, opt-in): when the x
+    # upsample is an exact integer-ratio column replication
+    # (bx == repeat(arange(w), r) — true for the 320->1920 bench
+    # geometry), build every full-width operand as
+    # jnp.repeat(plane, r, axis=1) instead of the dense one-hot matmul,
+    # whose [19, oh, ow] f32 product is ~158 MB/frame at 1080p.
     # Bit-identical to the dense path (replication preserves every
-    # operand value; the op sequence is shared in blend()).
-    # RCTPU_XBR=dense forces the old tail for A/B.
+    # operand value; the op sequence is shared in blend()), and HBM
+    # scales with the [oh, w] front planes only — but measured ~40%
+    # SLOWER on-chip (405 vs 687 fps at the bench point, 2026-08-21:
+    # Mosaic pays for the broadcast-reshape relayout inside the fused
+    # blend loop more than the MXU pays for the one-hot upsample), so
+    # the dense tail stays the default; this form is the documented
+    # memory fallback.
     rr = ow // w if ow % w == 0 else 0
     phase_ok = (
-        xbr_tail != "dense"
+        xbr_tail == "phase"
         and rr >= 1
         and bool(
             np.array_equal(bx_c, np.repeat(np.arange(w, dtype=bx_c.dtype), rr))
         )
     )
     if phase_ok:
-        E = [E255[..., i, None] * inv for i in range(3)]  # [oh, w, 1]
-        Hc = [H255[..., i, None] * inv for i in range(3)]
-        Fc = [F255[..., i, None] * inv for i in range(3)]
-        Bc = [B255[..., i, None] * inv for i in range(3)]
-        Dc = [D255[..., i, None] * inv for i in range(3)]
-        flags = decode_flags([code[..., ci, None] for ci in range(4)])
-        fpyj = jnp.asarray(fpy)[:, None, None]  # [oh, 1, 1]
-        fpxj = jnp.asarray(fpx.reshape(w, rr))[None, :, :]  # [1, w, r]
+        def up_rep(p2d):  # [oh, w] -> [oh, ow] exact column replication
+            return jnp.repeat(p2d, rr, axis=1)
+
+        E = [up_rep(E255[..., i]) * inv for i in range(3)]
+        Hc = [up_rep(H255[..., i]) * inv for i in range(3)]
+        Fc = [up_rep(F255[..., i]) * inv for i in range(3)]
+        Bc = [up_rep(B255[..., i]) * inv for i in range(3)]
+        Dc = [up_rep(D255[..., i]) * inv for i in range(3)]
+        flags = decode_flags([up_rep(code_planes[ci]) for ci in range(4)])
+        fpyj = jnp.asarray(fpy)[:, None]
+        fpxj = jnp.asarray(fpx)[None, :]
         res = blend(E, Hc, Fc, Bc, Dc, flags, fpyj, fpxj)
-        res = [p.reshape(oh, ow) for p in res]
         return jnp.stack(res + [jnp.ones((oh, ow), jnp.float32)], axis=-1)
 
     bxi = jax.lax.optimization_barrier(jnp.asarray(bx_c.astype(np.int32)))
