@@ -35,19 +35,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 64  # 8 vregs of (8,128): enough independent streams to hide latency
-K = 512  # chained FMA rounds per grid step per stream
-GRID = 4096  # grid steps per kernel launch
+ROWS = 8  # one (8,128) vreg per accumulator stream
+K = 4096  # FMA rounds per grid step (across all streams)
+GRID = 8192  # grid steps per kernel launch
+STREAMS = 16  # independent 1-vreg accumulators (r5: the old a<->b
+# cross-dependent pair serialized on FMA latency; 8 streams of 8 vregs
+# each spilled the register file and measured LOWER — 16 live vregs of
+# independent chains is the sweet spot probed)
 
 
 def _alu_kernel(x_ref, o_ref):
     x = x_ref[:]
-    a = x * 1.000001 + 0.5
-    b = x * 0.999999 - 0.25
-    for _ in range(K):
-        a = a * 1.000001 + b
-        b = b * 0.999997 + a
-    o_ref[:] = a + b
+    accs = [x * np.float32(1.0 + 1e-6 * i) + np.float32(0.125 * i) for i in range(STREAMS)]
+    c = [np.float32(1.000001 + 1e-7 * i) for i in range(STREAMS)]
+    for _ in range(K // STREAMS):
+        for s in range(STREAMS):
+            accs[s] = accs[s] * c[s] + np.float32(0.5)
+    out = accs[0]
+    for s in range(1, STREAMS):
+        out = out + accs[s]
+    o_ref[:] = out
 
 
 def _gather_kernel(x_ref, idx_ref, o_ref):
@@ -89,9 +96,9 @@ def main():
         out_specs=pl.BlockSpec((ROWS, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
     )
     t = timeit(jax.jit(alu), x)
-    # ops: per grid step, 2*K FMAs on [ROWS,128] = 2*K*(ROWS//8) vreg-ops
+    # ops: per grid step, K FMAs on [ROWS,128] = K*(ROWS//8) vreg-ops
     # (+ a handful of setup ops, <1%).
-    vreg_ops = 2 * K * (ROWS // 8) * GRID
+    vreg_ops = K * (ROWS // 8) * GRID
     per_s = vreg_ops / t
     print(
         f"ALU ceiling: {t * 1e3:.2f} ms/launch -> {per_s / 1e9:.2f} G vreg-ops/s "
