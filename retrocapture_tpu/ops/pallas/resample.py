@@ -301,6 +301,16 @@ def resample_u8(
     oh = h if ay is None else ay.shape[0]
     ow = w if ax is None else ax.shape[0]
 
+    # Identity-identity blit (viewport-sized last pass): the quantize is
+    # pure elementwise, and routing it through a Pallas kernel makes it
+    # an OPAQUE consumer — XLA must materialize the full [oh, ow, c] f32
+    # chain output in HBM just to feed it (~66 MB/frame round trip at
+    # 1080p). The jnp form fuses into the chain's own epilogue and the
+    # program writes u8 directly. Bit-identical (same round/clip/scale
+    # ops; the int32 hop in _quant is a Mosaic cast workaround only).
+    if ay is None and ax is None and not force_pallas:
+        return _einsum_fallback(tex, None, None)
+
     # VMEM working set: resident per-channel tex planes (+double buffer
     # across a batch grid), the axt panel, and per-tile operands.
     tex_bytes = h * w * c * 4
