@@ -60,11 +60,14 @@ CONFIGS = [
 # headline — the r4 failure mode where geomean(survivors) improved when a
 # slow config died (VERDICT r4 weak #1). Values: BENCH_LOCAL.json r5.
 LAST_KNOWN_FPS = {
-    "scanline-320": 3272.0,     # BENCH_r04.json (driver)
-    "xbr-lv2-1080p": 510.4,     # BENCH_LOCAL.json r3
-    "crt-mattias-1080p": 112.0, # BENCH_r04.json (driver)
-    "ntsc-320px": 755.0,        # BENCH_LOCAL.json r3
-    "feedback-ghost-nv12": 3036.2,  # BENCH_LOCAL.json r3
+    # r5 on-chip probes, 2026-08-21 (tools/probe_batch_floor.py /
+    # probe_xbr_batch.py, lagged-fence windows, same discipline as this
+    # bench).
+    "scanline-320": 3273.3,
+    "xbr-lv2-1080p": 695.8,
+    "crt-mattias-1080p": 112.0,  # BENCH_r04.json (driver, official)
+    "ntsc-320px": 2631.1,
+    "feedback-ghost-nv12": 3068.7,
 }
 
 VIEWPORT = (1920, 1080)  # (W, H)

@@ -410,8 +410,15 @@ def blit_u8(tex: jax.Array, vw: int, vh: int) -> jax.Array:
         else _axis_matrix_device(v_col, h, True, "clamp_to_edge")
     )
     if not _axis_is_identity(u_row, w, True, "clamp_to_edge"):
-        # RCTPU_XPHASE=off forces the dense matmul path (on-chip A/B).
-        if pallas_available() and os.environ.get("RCTPU_XPHASE", "on") != "off":
+        # RCTPU_XPHASE=on opts in to the phase-form kernel. Default OFF:
+        # the r5 on-chip A/B measured it a 27% REGRESSION on the ntsc
+        # chain (1931 fps on vs 2631 off at batch 128, 2026-08-21 —
+        # the ay-present variant keeps full source planes VMEM-resident
+        # and pipelines worse than the dense MXU matmul pair), and
+        # neutral on feedback-ghost. The kernel stays certified
+        # (tests/test_kernels_resample.py) as the documented alternative
+        # for VMEM-constrained geometries the dense path rejects.
+        if pallas_available() and os.environ.get("RCTPU_XPHASE", "off") == "on":
             ax_np = _axis_matrix(u_row, w, True, "clamp_to_edge")
             plan = _xphase_plan(ax_np, w, vw)
             if plan is not None and _xphase_fits(tex.shape, ay, plan):
