@@ -272,6 +272,13 @@ def main() -> int:
     cache = REPO / ".xla_cache"
     if "RETROCAPTURE_COMPILE_CACHE" not in os.environ and cache.is_dir():
         os.environ["RETROCAPTURE_COMPILE_CACHE"] = str(cache)
+    # Deterministic hashing in the per-config children: Python hash
+    # randomization leaks set/dict iteration order into the traced HLO's
+    # instruction spelling, which flips the XLA cache key between
+    # processes (observed: the same scanline config writing fresh
+    # jit_batch_fn keys into an already-warm cache). The committed
+    # .xla_cache entries were produced under PYTHONHASHSEED=0.
+    os.environ.setdefault("PYTHONHASHSEED", "0")
 
     if len(sys.argv) > 2 and sys.argv[1] == "--config":
         print(json.dumps(_run_one(sys.argv[2])))
