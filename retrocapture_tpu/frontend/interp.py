@@ -1219,11 +1219,24 @@ class ShaderEval:
         a = self.eval(e.then)
         b = self.eval(e.other)
         if isinstance(a, V) and isinstance(b, V):
+            from retrocapture_tpu.frontend.values import smart_device
+
             aa, bb, t = align_pair(a, b)
-            m = jnp.asarray(cond.data)
+            # Route every concrete operand through smart_device: a 2D
+            # concrete mask (or branch grid) handed straight to
+            # jnp.where embeds a full [oh, ow] HLO literal — windowed
+            # resamplers' per-tap selects were the bulk of the nnedi3/
+            # jinc2 chains' 460 MB programs (timeout_tpu_r5 HTTP 413).
+            m = (
+                smart_device(np.asarray(cond.data))
+                if is_concrete(cond.data)
+                else cond.data
+            )
             for _ in t.shape:
                 m = m[..., None]
-            return V(jnp.where(m, aa.data, bb.data), t)
+            av = smart_device(aa.data) if isinstance(aa.data, np.ndarray) else aa.data
+            bv = smart_device(bb.data) if isinstance(bb.data, np.ndarray) else bb.data
+            return V(jnp.where(m, av, bv), t)
         raise UnsupportedShaderError("ternary on non-numeric values")
 
     def _eval_incdec(self, e):

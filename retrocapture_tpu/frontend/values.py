@@ -14,8 +14,10 @@ trace time instead of emitting them into the XLA graph.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -173,6 +175,74 @@ def scalar_of(value: float, base: str = "float") -> "V":
     return V(np.asarray(value, _NP_DTYPES[base]), GType(base, ()))
 
 
+class ConstPool:
+    """Trace-time pool of large genuinely-2D concrete constants.
+
+    Windowed-resampler shaders (jinc2 & friends) fold their per-tap
+    weight fields concretely over the output grid: nonlinear in BOTH
+    axes, so neither the row/col-constant rebuild below nor any affine
+    reconstruction applies — and embedded as HLO literals they dominate
+    program size (nnedi3-nns*-…-rgb chains: 460 of 470 MB of StableHLO;
+    the 8x chain's serialized program exceeds the TPU compile relay's
+    request cap outright — HTTP 413, timeout_tpu_r5).
+
+    The engine discovers them with a throwaway abstract trace
+    (mode="collect"), then retraces with the pooled arrays passed as
+    jit ARGUMENTS (mode="replay") — the same treatment LUT textures got
+    in r3. Keys are content hashes, so the replay lookup is insensitive
+    to call order and duplicate grids dedup to one argument."""
+
+    __slots__ = ("mode", "keys", "arrays", "replay")
+
+    def __init__(self, mode: str):
+        self.mode = mode
+        self.keys: dict = {}
+        self.arrays: list = []
+        self.replay: list = []
+
+    @staticmethod
+    def key_of(x: "np.ndarray"):
+        import hashlib
+
+        c = np.ascontiguousarray(x)
+        return (
+            x.shape,
+            str(x.dtype),
+            hashlib.sha1(c.tobytes()).hexdigest(),
+        )
+
+    def fetch(self, x: "np.ndarray"):
+        import jax.numpy as jnp
+
+        k = self.key_of(x)
+        idx = self.keys.get(k)
+        if self.mode == "collect":
+            if idx is None:
+                self.keys[k] = len(self.arrays)
+                self.arrays.append(np.ascontiguousarray(x))
+            return jnp.asarray(x)
+        if idx is None or idx >= len(self.replay):
+            # A grid the discovery trace never saw (trace divergence):
+            # fall back to the literal — correct, just bigger.
+            return jnp.asarray(x)
+        return self.replay[idx]
+
+
+_CONST_POOL: "contextvars.ContextVar[Optional[ConstPool]]" = contextvars.ContextVar(
+    "rctpu_const_pool", default=None
+)
+_POOL_MIN_SIZE = 1 << 16  # 64k elements (~256 KB f32) per grid
+
+
+@contextlib.contextmanager
+def const_pool_scope(pool: ConstPool):
+    token = _CONST_POOL.set(pool)
+    try:
+        yield pool
+    finally:
+        _CONST_POOL.reset(token)
+
+
 def smart_device(x):
     """Concrete value → device array WITHOUT large HLO literals.
 
@@ -182,7 +252,9 @@ def smart_device(x):
     finally meets a traced operand, rebuild it as (small literal vector)
     + broadcast instead of letting jax embed the full grid: XLA
     constant-folds large literals single-threaded at O(pixels) per
-    instruction (the round-1 155 s compile pathology)."""
+    instruction (the round-1 155 s compile pathology). Genuinely-2D
+    large constants route through the engine's ConstPool (jit
+    arguments) when a pool scope is active."""
     import jax.numpy as jnp
 
     if not isinstance(x, np.ndarray) or x.ndim < 2 or x.size <= (1 << 14):
@@ -192,6 +264,10 @@ def smart_device(x):
         return jnp.broadcast_to(jnp.asarray(np.ascontiguousarray(x[:1])), x.shape)
     if st[1] == 0 or np.all(x == x[:, :1]):
         return jnp.broadcast_to(jnp.asarray(np.ascontiguousarray(x[:, :1])), x.shape)
+    if x.size >= _POOL_MIN_SIZE:
+        pool = _CONST_POOL.get()
+        if pool is not None:
+            return pool.fetch(x)
     return jnp.asarray(x)
 
 

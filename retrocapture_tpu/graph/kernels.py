@@ -1075,6 +1075,183 @@ def _ntsc_pass1_svideo_2phase(ctx, sh):
     return _ntsc_pass1_2phase_kernel(ctx, sh, svideo=True)
 
 
+# ---------------------------------------------------------------------------
+# nnedi3 (shaders_glsl/nnedi3/shaders/nnedi3-nns*-win8x4-pass{1,2}-*.glsl):
+# neural edge-directed doubling. The shader embeds its net as ~nns*66
+# inline intBitsToFloat literals and evaluates, per predicted pixel, an
+# 8x4-window [32]-vector through 2*nns neuron dot products — i.e. a
+# [32, 2*nns] matmul written out longhand. Lowered tap-by-tap this makes
+# multi-stage chains' serialized HLO exceed the compile relay's request
+# cap (nnedi3-nns64-2x-nns32-4x-nns16-8x: HTTP 413, timeout_tpu_r5) and
+# costs minutes of XLA CPU compile (corpus timeouts). Here the weights
+# are parsed ONCE from the shader text into device arrays and the whole
+# pass becomes: 32 shifted tap planes -> one MXU contraction ->
+# fused softmax-style mix -> row/col interleave. pass2 is pass1
+# transposed (x-doubling); -rgb runs 3 channels, -luma channel 0 only.
+#
+# Tap geometry (pass1, scale source 1x2, NEAREST, clamp_to_edge —
+# nnedi3-nns16-win8x4-pass1-luma.glsl nnedi3()): output row 2r is the
+# source row r passthrough; output row 2r+1 is predicted from source
+# rows r-1..r+2 and columns x-3..x+4. The half-texel floors are exact
+# in f32 (offsets 0.25/0.75 are dyadic), so taps are pure integer
+# shifts with edge clamp.
+
+_NNEDI3_W_RE = None
+
+
+def _nnedi3_weights(shader_path: str):
+    """Parse the per-neuron weight literals from the shader source.
+    Returns (W1 [32, nns], B1 [nns], W2 [32, nns], B2 [nns]) float32,
+    or None when the source does not match the expected structure.
+    Weight order: flat q = s*4 + c over samples[s] components — the
+    window position is (dy, dx) = (s//2 - 1, (s % 2)*4 + c - 3) for
+    pass1, transposed for pass2 (handled by the tap builder)."""
+    import re
+
+    global _NNEDI3_W_RE
+    if _NNEDI3_W_RE is None:
+        _NNEDI3_W_RE = (
+            re.compile(r"W\((\d),(-?\d+),(-?\d+),(-?\d+),(-?\d+)\)"),
+            re.compile(r"WS\((-?\d+),(-?\d+)\)"),
+            re.compile(r"sum1=(.*?);sum2=(.*?);WS\((-?\d+),(-?\d+)\);"),
+        )
+    w_re, _ws_re, line_re = _NNEDI3_W_RE
+    try:
+        src = Path(shader_path).read_text(encoding="utf-8", errors="replace")
+    except OSError:
+        return None
+    neurons = line_re.findall(src)
+    if not neurons:
+        return None
+    w1, w2, b1, b2 = [], [], [], []
+
+    def vec32(expr):
+        terms = w_re.findall(expr)
+        if len(terms) != 8:
+            return None
+        v = np.zeros(32, np.int32)
+        seen = set()
+        for s, a, b, c, d in terms:
+            s = int(s)
+            if s in seen:
+                return None
+            seen.add(s)
+            v[s * 4 : s * 4 + 4] = [int(a), int(b), int(c), int(d)]
+        return v
+
+    for e1, e2, bb1, bb2 in neurons:
+        v1, v2 = vec32(e1), vec32(e2)
+        if v1 is None or v2 is None:
+            return None
+        w1.append(v1)
+        w2.append(v2)
+        b1.append(int(bb1))
+        b2.append(int(bb2))
+    W1 = np.stack(w1, axis=1).view(np.float32)
+    W2 = np.stack(w2, axis=1).view(np.float32)
+    B1 = np.asarray(b1, np.int32).view(np.float32)
+    B2 = np.asarray(b2, np.int32).view(np.float32)
+    if not (np.isfinite(W1).all() and np.isfinite(W2).all()):
+        return None
+    return W1, W2, B1, B2
+
+
+_NNEDI3_WCACHE: dict = {}
+
+
+def _nnedi3_kernel(ctx, sh, *, axis: int, comps: int):
+    """axis 0 = pass1 (y-doubling), 1 = pass2 (x-doubling); comps 3 for
+    -rgb, 1 for -luma."""
+    cfg = ctx.program.preset.passes[ctx.i]
+    if cfg.filter_linear or cfg.wrap_mode != "clamp_to_edge" or cfg.mipmap_input:
+        return None
+    tex = ctx.input_binding.tex
+    h, w = int(tex.shape[0]), int(tex.shape[1])
+    ow, oh = ctx.out_size
+    if axis == 0 and (ow != w or oh != 2 * h):
+        return None
+    if axis == 1 and (ow != 2 * w or oh != h):
+        return None
+
+    spath = ctx.program.preset.passes[ctx.i].shader_path
+    key = str(spath)
+    if key not in _NNEDI3_WCACHE:
+        _NNEDI3_WCACHE[key] = _nnedi3_weights(key)
+    packs = _NNEDI3_WCACHE[key]
+    if packs is None:
+        return None
+    W1, W2, B1, B2 = packs
+    nns = W1.shape[1]
+
+    # 32 tap planes at source resolution. q = s*4 + cw; pass1 window
+    # (dy, dx) = (s//2 - 1, (s%2)*4 + cw - 3); pass2 transposes.
+    if axis == 0:
+        pad = ((1, 2), (3, 4))
+    else:
+        pad = ((3, 4), (1, 2))
+    src = tex[..., :comps].astype(jnp.float32)
+    padded = jnp.pad(src, (pad[0], pad[1], (0, 0)), mode="edge")
+    taps = []
+    for s in range(8):
+        for cw in range(4):
+            du, dv = s // 2 - 1, (s % 2) * 4 + cw - 3  # (minor, major)
+            dy, dx = (du, dv) if axis == 0 else (dv, du)
+            oy, ox = dy + pad[0][0], dx + pad[1][0]
+            taps.append(
+                jax.lax.slice(padded, (oy, ox, 0), (oy + h, ox + w, comps))
+            )
+    S = jnp.stack(taps, axis=0)  # [32, h, w, comps]
+
+    ssum = jnp.sum(S, axis=0)
+    sumsq = jnp.sum(S * S, axis=0)
+    mstd0 = ssum * np.float32(1.0 / 32.0)
+    mstd1 = sumsq * np.float32(1.0 / 32.0) - mstd0 * mstd0
+    ok = mstd1 >= np.float32(1.192092896e-7)
+    mstd2 = jnp.where(ok, 1.0 / jnp.sqrt(mstd1), 0.0)
+    mstd1 = mstd1 * mstd2
+
+    # The neuron contraction: f32 MXU (HIGHEST — the weights are real
+    # floats, not grid integers; bf16 operand rounding would cost ~3
+    # decimal digits against the evaluator).
+    d1 = jnp.einsum(
+        "qhwc,qn->nhwc", S, jnp.asarray(W1),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = jnp.einsum(
+        "qhwc,qn->nhwc", S, jnp.asarray(W2),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    e1 = jnp.exp(d1 * mstd2[None] + jnp.asarray(B1)[:, None, None, None])
+    s2 = d2 * mstd2[None] + jnp.asarray(B2)[:, None, None, None]
+    wsum = jnp.sum(e1, axis=0)
+    vsum = jnp.sum(e1 * (s2 / (1.0 + jnp.abs(s2))), axis=0)
+    pred = jnp.clip(mstd0 + np.float32(5.0) * vsum / wsum * mstd1, 0.0, 1.0)
+
+    # Interleave passthrough/predicted along the doubled axis (even
+    # positions are the source rows/cols — mod(p, 2) == 0 branch).
+    if axis == 0:
+        both = jnp.stack([src, pred], axis=1)  # [h, 2, w, comps]
+        out = both.reshape(2 * h, w, comps)
+    else:
+        both = jnp.stack([src, pred], axis=2)  # [h, w, 2, comps]
+        out = both.reshape(h, 2 * w, comps)
+    if comps == 1:
+        ones = jnp.ones((oh, ow, 1), jnp.float32)
+        return jnp.concatenate([out, ones, ones, ones], axis=-1)
+    return jnp.concatenate(
+        [out, jnp.ones((oh, ow, 1), jnp.float32)], axis=-1
+    )
+
+
+def _make_nnedi3(axis: int, comps: int):
+    def k(ctx, sh):
+        return _nnedi3_kernel(ctx, sh, axis=axis, comps=comps)
+
+    return k
+
+
 _REGISTRY = {
     "crt-mattias.glsl": _mattias_kernel,
     "xbr-lv2.glsl": _xbr_lv2_kernel,
@@ -1084,6 +1261,13 @@ _REGISTRY = {
     "ntsc-pass2-2phase-gamma.glsl": _ntsc_pass2_2phase_gamma,
     "ntsc-pass2-2phase-linear.glsl": _ntsc_pass2_2phase_linear,
 }
+
+for _nns in (16, 32, 64):
+    for _pass, _ax in (("pass1", 0), ("pass2", 1)):
+        for _kind, _nc in (("luma", 1), ("rgb", 3)):
+            _REGISTRY[f"nnedi3-nns{_nns}-win8x4-{_pass}-{_kind}.glsl"] = (
+                _make_nnedi3(_ax, _nc)
+            )
 
 
 def find_kernel(shader_path: str):

@@ -927,7 +927,7 @@ class Engine:
                 in_sh = in_sh + (tuple(rep for _ in lut_names),)
             fn = jax.jit(batch_fn, in_shardings=in_sh, out_shardings=(fs, state_sh))
         else:
-            fn = jax.jit(batch_fn)
+            fn = self._pool_wrap_impl(batch_fn)
         if lut_names:
             # Callers keep the (frames, state[, pvals]) signature; the
             # wrapper appends the device-resident LUT tuple per call.
@@ -939,6 +939,64 @@ class Engine:
                 fn = lambda r, s, _j=jfn, _l=lut_dev: _j(r, s, _l)  # noqa: E731
         self._jit_cache[cache_key] = fn
         return fn
+
+    @staticmethod
+    def _pool_wrap_impl(batch_fn):
+        """jit with a lazily-discovered large-constant pool.
+
+        Windowed-resampler chains (jinc2 & friends) fold per-tap weight
+        fields into genuinely-2D [oh, ow] concrete constants; embedded
+        as HLO literals they dominate program size and push the worst
+        chains past the compile relay's request cap (HTTP 413,
+        timeout_tpu_r5). On the first concrete call, a throwaway
+        abstract trace (jax.eval_shape under a collect-mode ConstPool)
+        discovers those constants; if any exist, the real jit retraces
+        with them passed as ARGUMENTS (replay-mode pool) — the LUT
+        treatment of r3, generalized. Chains with no such constants
+        keep the exact plain-jit path; nested traces (apply_streams
+        vmaps this fn) are detected via tracer args and also take the
+        plain path, preserving their current semantics."""
+        from retrocapture_tpu.frontend.values import ConstPool, const_pool_scope
+
+        plain = jax.jit(batch_fn)
+        chosen: dict = {}
+
+        def wrapped(*args):
+            leaves = jax.tree_util.tree_leaves(args)
+            if any(isinstance(x, jax.core.Tracer) for x in leaves):
+                return plain(*args)
+            fn = chosen.get("fn")
+            if fn is None:
+                pool = ConstPool("collect")
+                try:
+                    with const_pool_scope(pool):
+                        jax.eval_shape(batch_fn, *args)
+                except Exception:  # noqa: BLE001 - discovery is optional
+                    pool.arrays = []
+                if pool.arrays:
+                    keys = dict(pool.keys)
+
+                    def pooled(args2, pool_vals):
+                        p2 = ConstPool("replay")
+                        p2.keys = keys
+                        p2.replay = list(pool_vals)
+                        with const_pool_scope(p2):
+                            return batch_fn(*args2)
+
+                    dev = tuple(jax.device_put(a) for a in pool.arrays)
+                    jfn = jax.jit(pooled)
+                    log.info(
+                        "const pool: %d grids, %.1f MB as jit args",
+                        len(dev),
+                        sum(a.nbytes for a in pool.arrays) / 1e6,
+                    )
+                    fn = lambda *a, _j=jfn, _d=dev: _j(a, _d)  # noqa: E731
+                else:
+                    fn = plain
+                chosen["fn"] = fn
+            return fn(*args)
+
+        return wrapped
 
     def _lut_device_arrays(self, lut_names):
         """Device-put each LUT once per (engine, program); reused by every
